@@ -1,0 +1,359 @@
+"""Typed configuration tree for ifseg_tpu.
+
+Leaf names mirror the reference CLI flags (run_scripts/IFSeg/*.sh and the
+dataclasses in custom_fairseq/fairseq/dataclass/configs.py,
+tasks/mm_tasks/segmentation.py:37-98, criterions/seg_criterion.py:32-101,
+models/segofa/unify_transformer.py:114-313) so reference run scripts translate
+1:1.  Unlike the reference's argparse->omegaconf pipeline, this is a plain
+dataclass tree; `from_flags` accepts `--flag-name=value` strings.
+"""
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+def _str2bool(x) -> bool:
+    if isinstance(x, bool):
+        return x
+    x = str(x).lower()
+    if x == "true":
+        return True
+    if x == "false":
+        return False
+    raise ValueError(f"Unable to recognize string bool input: {x}")
+
+
+@dataclass
+class ModelConfig:
+    """SegOFA architecture (models/segofa/segofa.py:351-467 arch variants)."""
+
+    arch: str = "segofa_base"
+    encoder_embed_dim: int = 768
+    encoder_ffn_embed_dim: int = 3072
+    encoder_layers: int = 6
+    encoder_attention_heads: int = 12
+    decoder_embed_dim: int = 768
+    decoder_ffn_embed_dim: int = 3072
+    decoder_layers: int = 6
+    decoder_attention_heads: int = 12
+    resnet_type: str = "resnet101"
+
+    activation_fn: str = "gelu"
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    encoder_drop_path_rate: float = 0.1
+    decoder_drop_path_rate: float = 0.1
+    resnet_drop_path_rate: float = 0.0
+
+    # OFA extras (all on in the IFSeg run scripts)
+    encoder_normalize_before: bool = True
+    decoder_normalize_before: bool = True
+    layernorm_embedding: bool = True
+    patch_layernorm_embedding: bool = True
+    code_layernorm_embedding: bool = True
+    add_type_embedding: bool = True
+    scale_attn: bool = True
+    scale_fc: bool = True
+    scale_heads: bool = True
+    scale_resids: bool = False
+    attn_scale_factor: float = 2.0
+    no_scale_embedding: bool = True
+    entangle_position_embedding: bool = False
+    disable_entangle: bool = True
+
+    token_bucket_size: int = 256
+    image_bucket_size: int = 42
+    code_image_size: int = 128
+    max_source_positions: int = 1024
+    max_target_positions: int = 1024
+
+    patch_image_size: int = 512
+    orig_patch_image_size: int = 512
+
+    # segmentation head
+    num_seg_tokens: int = 150
+    decoder_type: str = "surrogate"
+    decoder_input_type: str = "encoder_output"  # encoder_input | encoder_output
+    tie_seg_projection: bool = True
+
+    # freezing policy (reference: unify_transformer.py:362-373,
+    # encoder_module.py:164-295)
+    freeze_encoder_embedding: bool = True
+    freeze_decoder_embedding: bool = True
+    freeze_seg_embedding: bool = True
+    freeze_entire_resnet: bool = True
+    freeze_resnet: bool = False
+    freeze_encoder_transformer: bool = False
+    freeze_encoder_transformer_layers: int = 0
+
+    share_all_embeddings: bool = True
+    share_decoder_input_output_embed: bool = True
+
+    # numerics
+    dtype: str = "bfloat16"  # compute dtype; params are always fp32
+
+    @property
+    def head_dim(self) -> int:
+        return self.encoder_embed_dim // self.encoder_attention_heads
+
+    @property
+    def seg_bucket_size(self) -> int:
+        return self.patch_image_size // 16
+
+    @property
+    def vocab_size(self) -> int:
+        """Token-embedding rows = len(dict) - num_seg_tokens
+        (unify_transformer.py:400-411)."""
+        base = 50264 + 1 + 8192 + 1000  # specials+dict.txt, <mask>, codes, bins
+        return base + 1  # (num_seg+1 symbols added, num_seg subtracted)
+
+
+_ARCH_OVERRIDES = {
+    "segofa_tiny": dict(
+        encoder_embed_dim=256, encoder_ffn_embed_dim=1024, encoder_layers=4,
+        encoder_attention_heads=4, decoder_embed_dim=256, decoder_ffn_embed_dim=1024,
+        decoder_layers=4, decoder_attention_heads=4, resnet_type="resnet50",
+    ),
+    "segofa_medium": dict(
+        encoder_embed_dim=512, encoder_ffn_embed_dim=2048, encoder_layers=4,
+        encoder_attention_heads=8, decoder_embed_dim=512, decoder_ffn_embed_dim=2048,
+        decoder_layers=4, decoder_attention_heads=8, resnet_type="resnet101",
+    ),
+    "segofa_base": dict(
+        encoder_embed_dim=768, encoder_ffn_embed_dim=3072, encoder_layers=6,
+        encoder_attention_heads=12, decoder_embed_dim=768, decoder_ffn_embed_dim=3072,
+        decoder_layers=6, decoder_attention_heads=12, resnet_type="resnet101",
+    ),
+    "segofa_large": dict(
+        encoder_embed_dim=1024, encoder_ffn_embed_dim=4096, encoder_layers=12,
+        encoder_attention_heads=16, decoder_embed_dim=1024, decoder_ffn_embed_dim=4096,
+        decoder_layers=12, decoder_attention_heads=16, resnet_type="resnet152",
+    ),
+    "segofa_huge": dict(
+        encoder_embed_dim=1280, encoder_ffn_embed_dim=5120, encoder_layers=24,
+        encoder_attention_heads=16, decoder_embed_dim=1280, decoder_ffn_embed_dim=5120,
+        decoder_layers=12, decoder_attention_heads=16, resnet_type="resnet152",
+    ),
+}
+
+
+def model_config_for_arch(arch: str, **kwargs) -> ModelConfig:
+    if arch not in _ARCH_OVERRIDES:
+        raise ValueError(f"unknown arch {arch}; choose from {list(_ARCH_OVERRIDES)}")
+    over = dict(_ARCH_OVERRIDES[arch])
+    over.update(kwargs)
+    return ModelConfig(arch=arch, **over)
+
+
+@dataclass
+class TaskConfig:
+    """Segmentation task (tasks/mm_tasks/segmentation.py:37-98 + OFAConfig)."""
+
+    data: str = ""  # comma-separated TSV paths; valid is last
+    selected_cols: str = "0,1,2"
+    bpe_dir: str = "assets/BPE"
+    max_src_length: int = 80
+    max_tgt_length: int = 20
+    code_dict_size: int = 8192
+    num_bins: int = 1000
+    patch_image_size: int = 512
+    orig_patch_image_size: int = 512
+    imagenet_default_mean_and_std: bool = False
+    num_seg_tokens: int = 150
+    category_list: str = ""
+    prompt_prefix: str = "what is the segmentation map of the image? object:"
+    artificial_image_type: str = "rand_k-1-33"
+    epoch_row_count: int = -1
+    valid_batch_size: int = 1
+    uses_ema: bool = False
+
+    @property
+    def categories(self) -> List[str]:
+        return [x.strip() for x in self.category_list.split(",") if x.strip()]
+
+
+@dataclass
+class CriterionConfig:
+    """Seg criterion (criterions/seg_criterion.py:32-101)."""
+
+    label_smoothing: float = 0.0
+    upscale_lprobs: bool = True
+    unsupervised_segmentation: bool = True
+    criterion_update_freq: int = 1
+    freeze_embedding_iter: int = -1
+    full_context_alignment: bool = False
+    init_seg_with_text: bool = True
+    resnet_topk: int = 3
+    resnet_prob_temperature: float = 1.0
+    resnet_iters: int = 0
+    ignore_eos: bool = True
+    sentence_avg: bool = False
+
+
+@dataclass
+class OptimizationConfig:
+    lr: float = 5e-5
+    lr_scheduler: str = "cosine"
+    warmup_ratio: float = 0.0
+    warmup_updates: int = 0
+    weight_decay: float = 0.1
+    adam_betas: Tuple[float, float] = (0.9, 0.999)
+    adam_eps: float = 1e-8
+    clip_norm: float = 1.0
+    max_epoch: int = 20
+    max_update: int = 0
+    update_freq: int = 1
+    batch_size: int = 4
+    batch_size_valid: int = 1
+    fixed_validation_seed: Optional[int] = 7
+    seed: int = 7
+    # bf16 on TPU replaces the reference's fp16+dynamic loss scaling; a scaler is
+    # kept only for parity experiments (train/optim.py).
+    fp16: bool = False
+    fp16_scale_window: int = 512
+    min_loss_scale: float = 1e-4
+
+
+@dataclass
+class CheckpointConfig:
+    save_dir: str = "checkpoints"
+    restore_file: str = ""
+    reset_optimizer: bool = False
+    reset_dataloader: bool = False
+    reset_meters: bool = False
+    save_interval: int = 1
+    validate_interval: int = 1
+    keep_last_epochs: int = 1
+    keep_best_checkpoints: int = 1
+    best_checkpoint_metric: str = "mIoU"
+    maximize_best_checkpoint_metric: bool = True
+    no_save: bool = False
+
+
+@dataclass
+class DistributedConfig:
+    """Mesh layout. data*fsdp*tensor must equal the device count."""
+
+    data_parallel: int = -1  # -1: all remaining devices
+    tensor_parallel: int = 1
+    fsdp: int = 1
+    coordinator_address: Optional[str] = None
+    num_processes: int = 1
+    process_id: int = 0
+
+
+@dataclass
+class CommonConfig:
+    log_interval: int = 10
+    log_format: str = "simple"
+    log_file: Optional[str] = None
+    tensorboard_logdir: Optional[str] = None
+    wandb_project: Optional[str] = None
+    profile: bool = False
+    ema_decay: float = 0.0  # 0 disables EMA
+    ema_fp32: bool = False
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    task: TaskConfig = field(default_factory=TaskConfig)
+    criterion: CriterionConfig = field(default_factory=CriterionConfig)
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    distributed: DistributedConfig = field(default_factory=DistributedConfig)
+    common: CommonConfig = field(default_factory=CommonConfig)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+# flag name -> (section, field) for names that don't match their section's field
+_FLAG_SECTIONS = None
+
+
+def _flag_index():
+    global _FLAG_SECTIONS
+    if _FLAG_SECTIONS is None:
+        idx = {}
+        for section in dataclasses.fields(Config):
+            sub = section.default_factory()
+            for f in dataclasses.fields(sub):
+                idx.setdefault(f.name, (section.name, f))
+        _FLAG_SECTIONS = idx
+    return _FLAG_SECTIONS
+
+
+def from_flags(argv: List[str], arch: Optional[str] = None) -> Config:
+    """Build a Config from reference-style `--flag-name=value` strings.
+
+    Positional (non ``--``) args are treated as the data path, matching the
+    reference CLI where data is positional (train.py / options.py).
+    """
+    cfg = Config()
+    if arch:
+        cfg = cfg.replace(model=model_config_for_arch(arch))
+    overrides = {}
+    for tok in argv:
+        if not tok.startswith("--"):
+            overrides.setdefault("task", {})["data"] = tok
+            continue
+        body = tok[2:]
+        if "=" in body:
+            name, value = body.split("=", 1)
+        else:
+            name, value = body, "true"
+        name = name.replace("-", "_")
+        if name == "arch":
+            cfg = cfg.replace(model=model_config_for_arch(value))
+            continue
+        if name in ("task", "criterion", "user_dir", "bpe"):
+            continue  # registry selectors; single-task framework
+        idx = _flag_index()
+        if name not in idx:
+            continue  # unknown flags ignored (parity with permissive argparse use)
+        section_name, f = idx[name]
+        ftype = f.type
+        if ftype in ("bool", bool):
+            v = _str2bool(value)
+        elif ftype in ("int", int):
+            v = int(value)
+        elif ftype in ("float", float):
+            v = float(value)
+        elif "Tuple" in str(ftype):
+            v = tuple(json.loads(value.replace("(", "[").replace(")", "]")))
+        else:
+            v = value
+        overrides.setdefault(section_name, {})[f.name] = v
+
+    for section_name, values in overrides.items():
+        sub = getattr(cfg, section_name)
+        cfg = cfg.replace(**{section_name: dataclasses.replace(sub, **values)})
+
+    # propagate shared leaves the reference duplicates across sections
+    m = cfg.model
+    t = cfg.task
+    if "num_seg_tokens" in overrides.get("task", {}) or "num_seg_tokens" in overrides.get("model", {}):
+        n = overrides.get("model", {}).get(
+            "num_seg_tokens", overrides.get("task", {}).get("num_seg_tokens")
+        )
+        cfg = cfg.replace(
+            model=dataclasses.replace(m, num_seg_tokens=n),
+            task=dataclasses.replace(t, num_seg_tokens=n),
+        )
+        m, t = cfg.model, cfg.task
+    for leaf in ("patch_image_size", "orig_patch_image_size"):
+        src = overrides.get("model", {}).get(leaf, overrides.get("task", {}).get(leaf))
+        if src is not None:
+            cfg = cfg.replace(
+                model=dataclasses.replace(m, **{leaf: src}),
+                task=dataclasses.replace(t, **{leaf: src}),
+            )
+            m, t = cfg.model, cfg.task
+    return cfg

@@ -1,0 +1,213 @@
+"""SegOFA surrogate decoder: one non-autoregressive parallel pass.
+
+Mirrors models/segofa/decoder_module.py:486-677 (`extract_features_scriptable_
+surrogate`): decoder input = [BOS embedding ‖ encoder image features], seg-grid
+positional table bilinearly interpolated to the runtime grid, per-layer seg
+relative bias with the BOS slot threaded through the interpolation
+(ref :601-627), causal self-attention unless full_context_alignment, cross
+attention to the full encoder sequence with a q·kᵀ cross position bias, and a
+`seg_projection` head (optionally weight-tied to `seg_embed_tokens`,
+ref :128-137).  Output position i predicts grid cell i (the last position is
+the EOS slot).
+"""
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ifseg_tpu.config import ModelConfig
+from ifseg_tpu.ops.resize import resize_bilinear
+from .encoder import cfg_dtype
+from .layers import DecoderLayer
+from .position import (
+    gather_rel_bias,
+    image_num_rel_dis,
+    interp_seg_bias_with_bos,
+    make_image_bucket_position,
+)
+
+
+class Decoder(nn.Module):
+    cfg: ModelConfig
+    embed_tokens: nn.Embed  # shared with encoder
+
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.decoder_embed_dim
+        ln = lambda: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
+        init_embed = nn.initializers.normal(stddev=d**-0.5)
+        self.seg_embed_tokens = self.param(
+            "seg_embed_tokens", init_embed, (cfg.num_seg_tokens, d), jnp.float32
+        )
+        if not cfg.tie_seg_projection:
+            self.seg_projection = self.param(
+                "seg_projection",
+                nn.initializers.xavier_uniform(),
+                (cfg.num_seg_tokens, d),
+                jnp.float32,
+            )
+        self.layernorm_embedding = ln()
+        self.embed_positions = nn.Embed(cfg.max_target_positions + 2, d, param_dtype=jnp.float32)
+        self.embed_image_positions = nn.Embed(cfg.image_bucket_size**2 + 1, d, param_dtype=jnp.float32)
+        self.embed_seg_positions = nn.Embed(cfg.seg_bucket_size**2 + 1, d, param_dtype=jnp.float32)
+        self.pos_ln = ln()
+        self.image_pos_ln = ln()
+        self.seg_pos_ln = ln()
+        self.self_pos_q_linear = nn.Dense(d, param_dtype=jnp.float32, dtype=jnp.float32)
+        self.self_pos_k_linear = nn.Dense(d, param_dtype=jnp.float32, dtype=jnp.float32)
+        self.cross_pos_q_linear = nn.Dense(d, param_dtype=jnp.float32, dtype=jnp.float32)
+        self.cross_pos_k_linear = nn.Dense(d, param_dtype=jnp.float32, dtype=jnp.float32)
+
+        heads = cfg.decoder_attention_heads
+        nlayers = cfg.decoder_layers
+        self.token_rel_pos_table = self.param(
+            "token_rel_pos_table",
+            nn.initializers.zeros,
+            (nlayers, 2 * cfg.token_bucket_size - 1, heads),
+            jnp.float32,
+        )
+        self.image_rel_pos_table = self.param(
+            "image_rel_pos_table",
+            nn.initializers.zeros,
+            (nlayers, image_num_rel_dis(cfg.image_bucket_size), heads),
+            jnp.float32,
+        )
+        sb = cfg.seg_bucket_size
+        self.seg_rel_pos_table = self.param(
+            "seg_rel_pos_table",
+            nn.initializers.zeros,
+            (nlayers, (2 * sb - 1) * (2 * sb - 1) + 3, heads),
+            jnp.float32,
+        )
+        dpr = np.linspace(0, cfg.decoder_drop_path_rate, nlayers)
+        self.layers = [
+            DecoderLayer(
+                embed_dim=d,
+                ffn_dim=cfg.decoder_ffn_embed_dim,
+                num_heads=heads,
+                attn_scale_factor=cfg.attn_scale_factor,
+                scale_attn=cfg.scale_attn,
+                scale_fc=cfg.scale_fc,
+                scale_heads=cfg.scale_heads,
+                scale_resids=cfg.scale_resids,
+                activation_fn=cfg.activation_fn,
+                dropout=cfg.dropout,
+                attention_dropout=cfg.attention_dropout,
+                activation_dropout=cfg.activation_dropout,
+                drop_path_rate=float(dpr[i]),
+                dtype=cfg_dtype(cfg),
+                name=f"layers_{i}",
+            )
+            for i in range(nlayers)
+        ]
+        self.layer_norm = ln()
+        self.dropout_layer = nn.Dropout(rate=cfg.dropout)
+
+    def _pos_scaling(self) -> float:
+        cfg = self.cfg
+        return (
+            float(
+                cfg.decoder_embed_dim
+                / cfg.decoder_attention_heads
+                * cfg.attn_scale_factor
+            )
+            ** -0.5
+        )
+
+    def _bias(self, q_pos, k_pos, q_linear, k_linear) -> jnp.ndarray:
+        heads = self.cfg.decoder_attention_heads
+        lq, lk = q_pos.shape[0], k_pos.shape[0]
+        q = (q_linear(q_pos) * self._pos_scaling()).reshape(lq, heads, -1)
+        k = k_linear(k_pos).reshape(lk, heads, -1)
+        return jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32)
+
+    def _seg_pos_embed(self, h: int, w: int) -> jnp.ndarray:
+        """(1 + h*w, D): BOS slot then the seg grid, interpolated from the
+        seg-bucket grid when (h, w) differs (decoder_module.py:541-550)."""
+        sb = self.cfg.seg_bucket_size
+        grid_ids = (
+            np.arange(sb, dtype=np.int64)[None, :]
+            + np.arange(sb, dtype=np.int64)[:, None] * sb
+            + 1
+        ).reshape(-1)
+        pe = self.embed_seg_positions(jnp.asarray(grid_ids))  # (sb*sb, D)
+        if (h, w) != (sb, sb):
+            pe = resize_bilinear(pe.reshape(sb, sb, -1), (h, w), h_axis=0, w_axis=1)
+            pe = pe.reshape(h * w, -1)
+        bos = self.embed_seg_positions(jnp.asarray([0]))
+        return jnp.concatenate([bos, pe], axis=0)
+
+    def __call__(
+        self,
+        bos_tokens,  # (B, 1) — prev_output_tokens[:, :1]
+        encoder_out: Dict[str, Any],
+        full_context_alignment: bool = False,
+        features_only: bool = False,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        h, w = encoder_out["image_embed_shape"]
+        hw = h * w
+        enc = encoder_out["encoder_out"]  # (B, L, D)
+
+        if cfg.decoder_input_type == "encoder_output":
+            image_feats = enc[:, :hw]
+        elif cfg.decoder_input_type == "encoder_input":
+            image_feats = encoder_out["image_embed_before_scale"]
+        else:
+            raise ValueError(cfg.decoder_input_type)
+
+        x = jnp.concatenate(
+            [self.embed_tokens(bos_tokens).astype(cfg_dtype(cfg)), image_feats], axis=1
+        )  # (B, 1+hw, D)
+        if cfg.layernorm_embedding:
+            x = self.layernorm_embedding(x).astype(cfg_dtype(cfg))
+        if cfg.dropout > 0:
+            x = self.dropout_layer(x, deterministic=deterministic)
+
+        tgt_pos = self._seg_pos_embed(h, w)  # (1+hw, D)
+        tgt_pos_ln = self.seg_pos_ln(tgt_pos)
+        self_bias0 = self._bias(
+            tgt_pos_ln, tgt_pos_ln, self.self_pos_q_linear, self.self_pos_k_linear
+        )
+        src_pos = encoder_out["position_embeddings"]  # (L_enc, D), post pos-LN
+        cross_bias = self._bias(
+            tgt_pos_ln, src_pos, self.cross_pos_q_linear, self.cross_pos_k_linear
+        )
+
+        sb = cfg.seg_bucket_size
+        seg_bucket = make_image_bucket_position(sb, (2 * sb - 1) * (2 * sb - 1) + 3)
+
+        enc_pad = encoder_out["encoder_padding_mask"]
+        for i, layer in enumerate(self.layers):
+            seg_b = gather_rel_bias(self.seg_rel_pos_table[i], seg_bucket)
+            seg_b = interp_seg_bias_with_bos(seg_b, (sb, sb), (h, w))
+            x = layer(
+                x,
+                encoder_out=enc,
+                encoder_padding_mask=enc_pad,
+                self_attn_bias=self_bias0 + seg_b,
+                cross_attn_bias=cross_bias,
+                causal=not full_context_alignment,
+                deterministic=deterministic,
+            )
+        x = self.layer_norm(x).astype(cfg_dtype(cfg))
+        if features_only:
+            return x
+        return self.output_layer(x)
+
+    def output_layer(self, features):
+        """seg head: (B, L, D) -> (B, L, num_seg) (decoder_module.py:290-294)."""
+        w = (
+            self.seg_embed_tokens
+            if self.cfg.tie_seg_projection
+            else self.seg_projection
+        )
+        return jnp.einsum(
+            "bld,cd->blc",
+            features.astype(jnp.float32),
+            w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )

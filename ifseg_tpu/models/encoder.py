@@ -1,0 +1,314 @@
+"""SegOFA encoder: ResNet image stem + token path + OFA transformer stack.
+
+Mirrors models/segofa/encoder_module.py:
+  - real-image path (`encode`, ref :677-851): ResNet -> image_proj -> [image ‖
+    text] with type embeddings and embed-LNs, abs-pos q·k bias + per-layer
+    token/image relative biases (image bias double-bilinear-interpolated when
+    the runtime grid differs from the orig 32x32 grid, ref :799-808)
+  - artificial-image path (`encode_artificial`, ref :499-675): grid cells are
+    category-word EmbeddingBag means.  TPU-first reformulation: the bag over
+    every cell is a per-class mean-embedding table (num_classes, D) computed
+    once, then a gather by grid id — identical math (mean bag), O(C·T) instead
+    of O(B·1024·T) embedding traffic.
+
+Batch-major (B, L, D); biases are computed batch-independent as (H, L, L) and
+broadcast (position ids are identical across the batch), unlike the reference
+which materializes per-sample copies.
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ifseg_tpu.config import ModelConfig
+from ifseg_tpu.ops.resize import resize_bilinear
+from .layers import EncoderLayer
+from .position import (
+    gather_rel_bias,
+    image_grid_position_ids,
+    image_num_rel_dis,
+    image_rp_bucket_for_grid,
+    interp_grid_bias,
+    make_token_bucket_position,
+)
+from .resnet import RESNET_LAYERS, ResNetStem
+
+PAD = 1
+
+
+def class_mean_embeddings(embed_table, class_tokens, class_lengths):
+    """Per-class mean of category-word token embeddings (EmbeddingBag mean mode,
+    encoder_module.py:147-148 / :529-542).
+
+    embed_table: (V, D); class_tokens: (C, T) padded ids; class_lengths: (C,)
+    """
+    emb = jnp.take(embed_table, class_tokens, axis=0)  # (C, T, D)
+    t = class_tokens.shape[1]
+    mask = (jnp.arange(t)[None, :] < class_lengths[:, None]).astype(emb.dtype)
+    summed = jnp.sum(emb * mask[:, :, None], axis=1)
+    return summed / class_lengths[:, None].astype(emb.dtype)
+
+
+class Encoder(nn.Module):
+    cfg: ModelConfig
+    embed_tokens: nn.Embed  # shared with decoder
+
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.encoder_embed_dim
+        ln = lambda: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
+        self.type_embedding = nn.Embed(2, d, param_dtype=jnp.float32, dtype=cfg_dtype(cfg))
+        self.layernorm_embedding = ln()
+        self.patch_layernorm_embedding = ln()
+        self.embed_images = ResNetStem(RESNET_LAYERS[cfg.resnet_type], dtype=cfg_dtype(cfg))
+        self.image_proj = nn.Dense(d, param_dtype=jnp.float32, dtype=cfg_dtype(cfg))
+        self.embed_positions = nn.Embed(cfg.max_source_positions + 2, d, param_dtype=jnp.float32)
+        self.embed_image_positions = nn.Embed(cfg.image_bucket_size**2 + 1, d, param_dtype=jnp.float32)
+        self.pos_ln = ln()
+        self.image_pos_ln = ln()
+        self.pos_q_linear = nn.Dense(d, param_dtype=jnp.float32, dtype=jnp.float32)
+        self.pos_k_linear = nn.Dense(d, param_dtype=jnp.float32, dtype=jnp.float32)
+
+        heads = cfg.encoder_attention_heads
+        nlayers = cfg.encoder_layers
+        self.token_rel_pos_table = self.param(
+            "token_rel_pos_table",
+            nn.initializers.zeros,
+            (nlayers, 2 * cfg.token_bucket_size - 1, heads),
+            jnp.float32,
+        )
+        self.image_rel_pos_table = self.param(
+            "image_rel_pos_table",
+            nn.initializers.zeros,
+            (nlayers, image_num_rel_dis(cfg.image_bucket_size), heads),
+            jnp.float32,
+        )
+        dpr = np.linspace(0, cfg.encoder_drop_path_rate, nlayers)
+        self.layers = [
+            EncoderLayer(
+                embed_dim=d,
+                ffn_dim=cfg.encoder_ffn_embed_dim,
+                num_heads=heads,
+                attn_scale_factor=cfg.attn_scale_factor,
+                scale_attn=cfg.scale_attn,
+                scale_fc=cfg.scale_fc,
+                scale_heads=cfg.scale_heads,
+                scale_resids=cfg.scale_resids,
+                activation_fn=cfg.activation_fn,
+                dropout=cfg.dropout,
+                attention_dropout=cfg.attention_dropout,
+                activation_dropout=cfg.activation_dropout,
+                drop_path_rate=float(dpr[i]),
+                dtype=cfg_dtype(cfg),
+                name=f"layers_{i}",
+            )
+            for i in range(nlayers)
+        ]
+        self.layer_norm = ln()
+        self.dropout_layer = nn.Dropout(rate=cfg.dropout)
+
+    # ------------------------------------------------------------------ utils
+
+    def _pos_scaling(self) -> float:
+        cfg = self.cfg
+        return (
+            float(
+                cfg.encoder_embed_dim
+                / cfg.encoder_attention_heads
+                * cfg.attn_scale_factor
+            )
+            ** -0.5
+        )
+
+    def _abs_bias(self, pos_embed) -> jnp.ndarray:
+        """(H, L, L) q·kᵀ bias from post-LN position embeddings
+        (encoder_module.py:611-621); batch-independent so computed once."""
+        heads = self.cfg.encoder_attention_heads
+        l = pos_embed.shape[0]
+        q = (self.pos_q_linear(pos_embed) * self._pos_scaling()).reshape(l, heads, -1)
+        k = self.pos_k_linear(pos_embed).reshape(l, heads, -1)
+        return jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32)
+
+    def _image_pos_embed(self, h: int, w: int) -> jnp.ndarray:
+        """(h*w, D) image position embeddings with bilinear interpolation from
+        the orig grid when the runtime grid is larger (encoder_module.py:358-371)."""
+        cfg = self.cfg
+        orig_hw = cfg.orig_patch_image_size // 16
+        if h * w > orig_hw * orig_hw:
+            ids = image_grid_position_ids(orig_hw, orig_hw, cfg.image_bucket_size)
+            pe = self.embed_image_positions(jnp.asarray(ids))
+            pe = pe.reshape(orig_hw, orig_hw, -1)
+            pe = resize_bilinear(pe, (h, w), h_axis=0, w_axis=1)
+            return pe.reshape(h * w, -1)
+        ids = image_grid_position_ids(h, w, cfg.image_bucket_size)
+        return self.embed_image_positions(jnp.asarray(ids))
+
+    def _text_embed(self, src_tokens, deterministic):
+        """Token path: embed + type(0) + LN + dropout (encoder_module.py:573-586)."""
+        cfg = self.cfg
+        x = self.embed_tokens(src_tokens).astype(cfg_dtype(cfg))
+        if cfg.add_type_embedding:
+            x = x + self.type_embedding(jnp.zeros_like(src_tokens))
+        if cfg.layernorm_embedding:
+            x = self.layernorm_embedding(x).astype(cfg_dtype(cfg))
+        if cfg.dropout > 0:
+            x = self.dropout_layer(x, deterministic=deterministic)
+        return x
+
+    def _image_token_embed(self, image_embed, src_tokens, deterministic):
+        """Image path: + type(1) + patch-LN + dropout (encoder_module.py:589-600)."""
+        cfg = self.cfg
+        x = image_embed.astype(cfg_dtype(cfg))
+        if cfg.add_type_embedding:
+            ones = jnp.ones(image_embed.shape[:2], dtype=src_tokens.dtype)
+            x = x + self.type_embedding(ones)
+        if cfg.patch_layernorm_embedding:
+            x = self.patch_layernorm_embedding(x).astype(cfg_dtype(cfg))
+        if cfg.dropout > 0:
+            x = self.dropout_layer(x, deterministic=deterministic)
+        return x
+
+    def _run_layers(
+        self,
+        x,
+        padding_mask,
+        pos_embed_all,  # (L, D) post-LN concat [image ‖ text]
+        src_len: int,
+        image_hw: Tuple[int, int],
+        rel_bias_grid_hw: Tuple[int, int],
+        deterministic: bool,
+    ):
+        cfg = self.cfg
+        heads = cfg.encoder_attention_heads
+        l_total = x.shape[1]
+        hw = image_hw[0] * image_hw[1]
+
+        bias0 = self._abs_bias(pos_embed_all)  # (H, L, L)
+
+        token_bucket = make_token_bucket_position(cfg.token_bucket_size)[
+            :src_len, :src_len
+        ]
+        image_bucket = image_rp_bucket_for_grid(*rel_bias_grid_hw, cfg.image_bucket_size)
+
+        for i, layer in enumerate(self.layers):
+            tok_b = gather_rel_bias(self.token_rel_pos_table[i], token_bucket)
+            img_b = gather_rel_bias(self.image_rel_pos_table[i], image_bucket)
+            img_b = interp_grid_bias(img_b, rel_bias_grid_hw, image_hw)
+            bias = bias0
+            bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)
+            bias = bias.at[:, :hw, :hw].add(img_b)
+            x = layer(
+                x,
+                padding_mask=padding_mask,
+                self_attn_bias=bias,
+                deterministic=deterministic,
+            )
+        x = self.layer_norm(x).astype(cfg_dtype(cfg))
+        return x
+
+    # ---------------------------------------------------------------- forward
+
+    def encode(
+        self,
+        src_tokens,  # (B, T)
+        patch_images,  # (B, H, W, 3) normalized
+        patch_masks=None,  # (B,) bool
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        """Real-image forward (encoder_module.py:677-851)."""
+        cfg = self.cfg
+        feats = self.embed_images(patch_images.astype(cfg_dtype(cfg)))  # (B,h,w,1024)
+        b, h, w, _ = feats.shape
+        hw = h * w
+        resnet_feats = feats.reshape(b, hw, -1)
+        image_embed_pre = self.image_proj(resnet_feats)  # (B, hw, D)
+
+        image_pad = jnp.zeros((b, hw), bool)
+        if patch_masks is not None:
+            image_pad = image_pad | (~patch_masks)[:, None]
+        text_pad = src_tokens == PAD
+        padding_mask = jnp.concatenate([image_pad, text_pad], axis=1)
+
+        x_text = self._text_embed(src_tokens, deterministic)
+        x_img = self._image_token_embed(image_embed_pre, src_tokens, deterministic)
+        x = jnp.concatenate([x_img, x_text], axis=1)
+        x = x * (1.0 - padding_mask[:, :, None].astype(x.dtype))
+
+        t = src_tokens.shape[1]
+        pos_text = self.pos_ln(self.embed_positions(jnp.arange(t)))
+        pos_img = self.image_pos_ln(self._image_pos_embed(h, w))
+        pos_all = jnp.concatenate([pos_img, pos_text], axis=0)  # (L, D)
+
+        orig_hw = cfg.orig_patch_image_size // 16
+        x = self._run_layers(
+            x,
+            padding_mask,
+            pos_all,
+            src_len=t,
+            image_hw=(h, w),
+            rel_bias_grid_hw=(orig_hw, orig_hw),
+            deterministic=deterministic,
+        )
+        return {
+            "encoder_out": x,  # (B, L, D)
+            "encoder_padding_mask": padding_mask,
+            "position_embeddings": pos_all,  # (L, D) post-LN
+            "image_embed_before_scale": image_embed_pre,
+            "image_embed_before_proj": resnet_feats,
+            "image_embed_shape": (h, w),
+        }
+
+    def encode_artificial(
+        self,
+        src_tokens,  # (B, T)
+        grid_ids,  # (B, hw) int class ids in [0, num_classes)
+        class_tokens,  # (C, Tname) padded category-word token ids
+        class_lengths,  # (C,)
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        """Artificial-image forward (encoder_module.py:499-675)."""
+        cfg = self.cfg
+        h = w = cfg.patch_image_size // 16
+        b = src_tokens.shape[0]
+        class_embeds = class_mean_embeddings(
+            self.embed_tokens.embedding, class_tokens, class_lengths
+        )
+        image_embed = jnp.take(class_embeds, grid_ids, axis=0)  # (B, hw, D)
+
+        image_pad = jnp.zeros((b, h * w), bool)
+        text_pad = src_tokens == PAD
+        padding_mask = jnp.concatenate([image_pad, text_pad], axis=1)
+
+        x_text = self._text_embed(src_tokens, deterministic)
+        x_img = self._image_token_embed(image_embed, src_tokens, deterministic)
+        x = jnp.concatenate([x_img, x_text], axis=1)
+        x = x * (1.0 - padding_mask[:, :, None].astype(x.dtype))
+
+        t = src_tokens.shape[1]
+        pos_text = self.pos_ln(self.embed_positions(jnp.arange(t)))
+        pos_img = self.image_pos_ln(self._image_pos_embed(h, w))
+        pos_all = jnp.concatenate([pos_img, pos_text], axis=0)
+
+        x = self._run_layers(
+            x,
+            padding_mask,
+            pos_all,
+            src_len=t,
+            image_hw=(h, w),
+            rel_bias_grid_hw=(h, w),
+            deterministic=deterministic,
+        )
+        return {
+            "encoder_out": x,
+            "encoder_padding_mask": padding_mask,
+            "position_embeddings": pos_all,
+            "image_embed_before_scale": image_embed,
+            "image_embed_before_proj": None,
+            "image_embed_shape": (h, w),
+        }
+
+
+def cfg_dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32

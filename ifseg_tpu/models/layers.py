@@ -1,0 +1,199 @@
+"""Pre-LN transformer layers with the OFA extras.
+
+Mirrors models/segofa/unify_transformer_layer.py: attn_ln after self-attention
+("scale_attn"), ffn_layernorm between the FFN matmuls ("scale_fc"), optional
+w_resid residual scaling ("scale_resids"), DropPath stochastic depth, GELU.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .attention import MultiheadAttention
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Stochastic depth, dropped per sample (unify_transformer_layer.py:19-35)."""
+    if rate == 0.0 or deterministic:
+        return x
+    keep = 1.0 - rate
+    # reference drops per batch element: shape (1, B, 1) in T-major == (B, 1, 1) here
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, mask_shape, x.dtype))
+    return x / keep * mask
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        return drop_path(x, self.rate, deterministic, self.make_rng("dropout"))
+
+
+def _ln(name):
+    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+
+
+class FeedForward(nn.Module):
+    embed_dim: int
+    ffn_dim: int
+    activation_fn: str = "gelu"
+    dropout: float = 0.0
+    activation_dropout: float = 0.0
+    scale_fc: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = getattr(nn, self.activation_fn)
+        x = nn.Dense(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = act(x)
+        if self.activation_dropout > 0.0:
+            x = nn.Dropout(self.activation_dropout)(x, deterministic=deterministic)
+        if self.scale_fc:
+            x = _ln("ffn_layernorm")(x).astype(self.dtype)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class EncoderLayer(nn.Module):
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    attn_scale_factor: float = 2.0
+    scale_attn: bool = True
+    scale_fc: bool = True
+    scale_heads: bool = True
+    scale_resids: bool = False
+    activation_fn: str = "gelu"
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, self_attn_bias=None, deterministic=True):
+        residual = x
+        y = _ln("self_attn_layer_norm")(x).astype(self.dtype)
+        y = MultiheadAttention(
+            self.embed_dim,
+            self.num_heads,
+            scale_factor=self.attn_scale_factor,
+            scale_heads=self.scale_heads,
+            dropout=self.attention_dropout,
+            dtype=self.dtype,
+            name="self_attn",
+        )(y, bias=self_attn_bias, key_padding_mask=padding_mask, deterministic=deterministic)
+        if self.scale_attn:
+            y = _ln("attn_ln")(y).astype(self.dtype)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = residual + DropPath(self.drop_path_rate)(y, deterministic)
+
+        residual = x
+        y = _ln("final_layer_norm")(x).astype(self.dtype)
+        y = FeedForward(
+            self.embed_dim, self.ffn_dim, self.activation_fn, self.dropout,
+            self.activation_dropout, self.scale_fc, self.dtype, name="ffn",
+        )(y, deterministic)
+        if self.scale_resids:
+            w_resid = self.param("w_resid", nn.initializers.ones, (self.embed_dim,), jnp.float32)
+            residual = residual * w_resid.astype(residual.dtype)
+        x = residual + DropPath(self.drop_path_rate)(y, deterministic)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    attn_scale_factor: float = 2.0
+    scale_attn: bool = True
+    scale_fc: bool = True
+    scale_heads: bool = True
+    scale_resids: bool = False
+    activation_fn: str = "gelu"
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        encoder_out=None,
+        encoder_padding_mask=None,
+        self_attn_bias=None,
+        cross_attn_bias=None,
+        self_padding_mask=None,
+        causal: bool = True,
+        deterministic: bool = True,
+    ):
+        residual = x
+        y = _ln("self_attn_layer_norm")(x).astype(self.dtype)
+        y = MultiheadAttention(
+            self.embed_dim,
+            self.num_heads,
+            scale_factor=self.attn_scale_factor,
+            scale_heads=self.scale_heads,
+            dropout=self.attention_dropout,
+            dtype=self.dtype,
+            name="self_attn",
+        )(
+            y,
+            bias=self_attn_bias,
+            key_padding_mask=self_padding_mask,
+            causal=causal,
+            deterministic=deterministic,
+        )
+        if self.scale_attn:
+            y = _ln("self_attn_ln")(y).astype(self.dtype)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = residual + DropPath(self.drop_path_rate)(y, deterministic)
+
+        if encoder_out is not None:
+            residual = x
+            y = _ln("encoder_attn_layer_norm")(x).astype(self.dtype)
+            y = MultiheadAttention(
+                self.embed_dim,
+                self.num_heads,
+                scale_factor=self.attn_scale_factor,
+                scale_heads=self.scale_heads,
+                dropout=self.attention_dropout,
+                dtype=self.dtype,
+                name="encoder_attn",
+            )(
+                y,
+                key=encoder_out,
+                bias=cross_attn_bias,
+                key_padding_mask=encoder_padding_mask,
+                deterministic=deterministic,
+            )
+            if self.scale_attn:
+                y = _ln("cross_attn_ln")(y).astype(self.dtype)
+            if self.dropout > 0.0:
+                y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            x = residual + DropPath(self.drop_path_rate)(y, deterministic)
+
+        residual = x
+        y = _ln("final_layer_norm")(x).astype(self.dtype)
+        y = FeedForward(
+            self.embed_dim, self.ffn_dim, self.activation_fn, self.dropout,
+            self.activation_dropout, self.scale_fc, self.dtype, name="ffn",
+        )(y, deterministic)
+        if self.scale_resids:
+            w_resid = self.param("w_resid", nn.initializers.ones, (self.embed_dim,), jnp.float32)
+            residual = residual * w_resid.astype(residual.dtype)
+        x = residual + DropPath(self.drop_path_rate)(y, deterministic)
+        return x

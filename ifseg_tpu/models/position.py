@@ -1,0 +1,184 @@
+"""OFA positional machinery: bucket tables and bias assembly.
+
+Three interacting bias systems (parity-critical; see SURVEY.md "hard parts"):
+  1. absolute position bias: LN(pos_embed) -> pos_q/pos_k linear -> q·kᵀ per head
+     (encoder_module.py:611-621, decoder_module.py:335-404)
+  2. token relative bias: log-bucket relative positions
+     (encoder_module.py:71-84 make_token_bucket_position)
+  3. 2-D image/seg relative bias: 2-D relative coords + special CLS buckets
+     (encoder_module.py:87-104 make_image_bucket_position), bilinearly
+     interpolated on each grid pair when the runtime grid differs from the
+     bucket grid (encoder_module.py:799-808, decoder_module.py:601-627)
+
+All bucket tables are static numpy (computed once per shape and cached); only
+the per-layer embedding lookups and the interpolation matmuls run on device.
+"""
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ifseg_tpu.ops.resize import bilinear_matrix
+
+
+@lru_cache(maxsize=None)
+def make_token_bucket_position(bucket_size: int, max_position: int = 1024) -> np.ndarray:
+    """Log-bucketed relative positions, exactly matching the reference quirks
+    (encoder_module.py:71-84): |rel| <= mid keeps the signed offset; larger
+    offsets are log-spaced into mid-1 buckets."""
+    context = np.arange(max_position, dtype=np.int64)[:, None]
+    memory = np.arange(max_position, dtype=np.int64)[None, :]
+    rel = context - memory
+    sign = np.sign(rel)
+    mid = bucket_size // 2
+    abs_pos = np.where((rel < mid) & (rel > -mid), mid - 1, np.abs(rel))
+    with np.errstate(divide="ignore"):
+        log_pos = (
+            np.ceil(
+                np.log(abs_pos / mid) / np.log((max_position - 1) / mid) * (mid - 1)
+            )
+            + mid
+        )
+    log_pos = log_pos.astype(np.int32)
+    bucket = np.where(abs_pos <= mid, rel, (log_pos * sign).astype(np.int64))
+    return (bucket + bucket_size - 1).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def make_image_bucket_position(bucket_size: int, num_relative_distance: int) -> np.ndarray:
+    """2-D relative-position index over a (bucket_size² + 1) token grid with a
+    leading CLS slot (encoder_module.py:87-104)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(bucket_size), np.arange(bucket_size), indexing="ij")
+    )  # (2, H, W)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, HW, HW)
+    rel = rel.transpose(1, 2, 0).copy()
+    rel[:, :, 0] += bucket_size - 1
+    rel[:, :, 1] += bucket_size - 1
+    rel[:, :, 0] *= 2 * bucket_size - 1
+    index = np.zeros((bucket_size**2 + 1,) * 2, dtype=np.int64)
+    index[1:, 1:] = rel.sum(-1)
+    index[0, 0:] = num_relative_distance - 3
+    index[0:, 0] = num_relative_distance - 2
+    index[0, 0] = num_relative_distance - 1
+    return index.astype(np.int32)
+
+
+def image_num_rel_dis(image_bucket_size: int) -> int:
+    return (2 * image_bucket_size - 1) * (2 * image_bucket_size - 1) + 3
+
+
+@lru_cache(maxsize=None)
+def image_grid_position_ids(h: int, w: int, image_bucket_size: int) -> np.ndarray:
+    """Flattened grid position ids: row*bucket + col + 1 (encoder_module.py:339-341)."""
+    ids = (
+        np.arange(w, dtype=np.int64)[None, :]
+        + np.arange(h, dtype=np.int64)[:, None] * image_bucket_size
+        + 1
+    )
+    return ids.reshape(-1).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def image_rp_bucket_for_grid(h: int, w: int, image_bucket_size: int) -> np.ndarray:
+    """(h*w, h*w) bucket indices for a grid, via pairwise gather of the full
+    bucket table (encoder_module.py:321-331)."""
+    table = make_image_bucket_position(
+        image_bucket_size, image_num_rel_dis(image_bucket_size)
+    )
+    pos = image_grid_position_ids(h, w, image_bucket_size)
+    return table[np.ix_(pos, pos)].astype(np.int32)
+
+
+def gather_rel_bias(table_weight, rp_bucket) -> jnp.ndarray:
+    """Per-layer bias lookup: (num_rel_dis, heads) table x (L, L) int buckets
+    -> (heads, L, L) fp32."""
+    values = jnp.take(table_weight, jnp.asarray(rp_bucket), axis=0)  # (L, L, H)
+    return values.transpose(2, 0, 1).astype(jnp.float32)
+
+
+def interp_grid_bias(bias, src_hw, dst_hw) -> jnp.ndarray:
+    """Double-bilinear interpolation of a grid-pair bias.
+
+    ``bias``: (heads, src_h*src_w, src_h*src_w) -> (heads, dh*dw, dh*dw),
+    matching the reference's two F.interpolate passes over query-grid axes then
+    key-grid axes (encoder_module.py:799-808).
+    """
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    if (sh, sw) == (dh, dw):
+        return bias
+    heads = bias.shape[0]
+    b = bias.reshape(heads, sh, sw, sh, sw).astype(jnp.float32)
+    ah = jnp.asarray(bilinear_matrix(sh, dh))
+    aw = jnp.asarray(bilinear_matrix(sw, dw))
+    b = jnp.einsum("Hi,hiwjv->hHwjv", ah, b)
+    b = jnp.einsum("Wi,hHijv->hHWjv", aw, b)
+    b = jnp.einsum("Ji,hHWiv->hHWJv", ah, b)
+    b = jnp.einsum("Vi,hHWJi->hHWJV", aw, b)
+    return b.reshape(heads, dh * dw, dh * dw)
+
+
+def interp_seg_bias_with_bos(bias, src_hw, dst_hw) -> jnp.ndarray:
+    """Seg-grid bias interpolation with the BOS slot handled as in the
+    reference (decoder_module.py:601-627): the leading row/column pass through
+    unresized along their own axis while the grid block is interpolated on both
+    grid pairs.
+
+    ``bias``: (heads, 1 + sh*sw, 1 + sh*sw) -> (heads, 1 + dh*dw, 1 + dh*dw).
+    """
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    if (sh, sw) == (dh, dw):
+        return bias
+    heads = bias.shape[0]
+    ah = jnp.asarray(bilinear_matrix(sh, dh))
+    aw = jnp.asarray(bilinear_matrix(sw, dw))
+
+    def interp_flat(x, axis_shape):  # x: (heads, N, sh*sw) -> (heads, N, dh*dw)
+        n = x.shape[1]
+        x = x.reshape(heads, n, sh, sw).astype(jnp.float32)
+        x = jnp.einsum("Hi,bniw->bnHw", ah, x)
+        x = jnp.einsum("Wi,bnhi->bnhW", aw, x)
+        return x.reshape(heads, n, dh * dw)
+
+    bias = bias.astype(jnp.float32)
+    bos_row = bias[:, :1, :]  # (H, 1, 1+shsw)
+    grid_rows = bias[:, 1:, :]
+    # interpolate along the *query* grid first: treat rows as the flattened grid
+    grid_rows = jnp.swapaxes(
+        interp_flat(jnp.swapaxes(grid_rows, 1, 2), (sh, sw)), 1, 2
+    )  # (H, 1+shsw cols intact? no: rows now dh*dw)
+    bias = jnp.concatenate([bos_row, grid_rows], axis=1)  # (H, 1+dhdw, 1+shsw)
+    # then along the *key* grid
+    bos_col = bias[:, :, :1]
+    grid_cols = interp_flat(bias[:, :, 1:], (sh, sw))
+    return jnp.concatenate([bos_col, grid_cols], axis=2)
+
+
+def abs_pos_bias(pos_embed, q_kernel, q_bias, k_kernel, k_bias, num_heads, scaling):
+    """q·kᵀ absolute-position bias.
+
+    ``pos_embed``: (L, D) (batch-independent — position ids are identical across
+    the batch in both encoder and surrogate decoder, so unlike the reference we
+    compute one (heads, L, L) tensor and broadcast).
+    Returns (heads, L_q, L_k) fp32.
+    """
+    return cross_abs_pos_bias(
+        pos_embed, pos_embed, q_kernel, q_bias, k_kernel, k_bias, num_heads, scaling
+    )
+
+
+def cross_abs_pos_bias(
+    tgt_pos_embed, src_pos_embed, q_kernel, q_bias, k_kernel, k_bias, num_heads, scaling
+):
+    """(heads, L_q, L_k) bias from separate query/key position embeddings."""
+    lq, d = tgt_pos_embed.shape
+    lk = src_pos_embed.shape[0]
+    q = (tgt_pos_embed.astype(jnp.float32) @ q_kernel + q_bias) * scaling
+    k = src_pos_embed.astype(jnp.float32) @ k_kernel + k_bias
+    q = q.reshape(lq, num_heads, -1)
+    k = k.reshape(lk, num_heads, -1)
+    return jnp.einsum("qhd,khd->hqk", q, k)

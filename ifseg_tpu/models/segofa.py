@@ -1,0 +1,107 @@
+"""SegOFA model assembly (mirrors models/segofa/segofa.py + unify_transformer.py).
+
+One shared token embedding feeds encoder and decoder (share_all_embeddings);
+`seg_embed_tokens` lives in the decoder and is shared with the encoder's
+lazy-init path through the criterion.  Forward routes the main input through
+encoder+decoder and `aux_input` (artificial image) through the artificial
+encoder path (segofa.py:69-153).
+"""
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ifseg_tpu.config import ModelConfig
+from .decoder import Decoder
+from .encoder import Encoder, cfg_dtype
+
+
+class SegOFA(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size,
+            cfg.encoder_embed_dim,
+            embedding_init=nn.initializers.normal(stddev=cfg.encoder_embed_dim**-0.5),
+            param_dtype=jnp.float32,
+            name="embed_tokens",
+        )
+        self.encoder = Encoder(cfg, self.embed_tokens, name="encoder")
+        self.decoder = Decoder(cfg, self.embed_tokens, name="decoder")
+
+    def __call__(
+        self,
+        src_tokens=None,  # (B, T)
+        patch_images=None,  # (B, H, W, 3)
+        patch_masks=None,  # (B,)
+        bos_tokens=None,  # (B, 1)
+        aux_grid_ids=None,  # (B, hw) — artificial image class grid
+        aux_src_tokens=None,  # (B, T)
+        class_tokens=None,  # (C, Tname)
+        class_lengths=None,  # (C,)
+        full_context_alignment: bool = False,
+        deterministic: bool = True,
+    ):
+        """Returns (logits, extra).  Main branch runs iff src_tokens is not
+        None; aux (image-free) branch runs iff aux_grid_ids is not None."""
+        logits = None
+        extra: Dict[str, Any] = {}
+        if src_tokens is not None:
+            enc = self.encoder.encode(
+                src_tokens, patch_images, patch_masks, deterministic=deterministic
+            )
+            logits = self.decoder(
+                bos_tokens,
+                enc,
+                full_context_alignment=full_context_alignment,
+                deterministic=deterministic,
+            )
+            extra["encoder_returns"] = enc
+        if aux_grid_ids is not None:
+            aux_enc = self.encoder.encode_artificial(
+                aux_src_tokens,
+                aux_grid_ids,
+                class_tokens,
+                class_lengths,
+                deterministic=deterministic,
+            )
+            aux_logits = self.decoder(
+                bos_tokens if bos_tokens is not None else jnp.zeros(
+                    (aux_grid_ids.shape[0], 1), jnp.int32
+                ),
+                aux_enc,
+                full_context_alignment=full_context_alignment,
+                deterministic=deterministic,
+            )
+            extra["aux_output"] = aux_logits
+            extra["aux_encoder_returns"] = aux_enc
+        return logits, extra
+
+    def encode_only(self, src_tokens, patch_images, patch_masks=None, deterministic=True):
+        return self.encoder.encode(src_tokens, patch_images, patch_masks, deterministic)
+
+
+class SegOFAVariables:
+    """Helper to init / describe SegOFA parameter pytrees."""
+
+    @staticmethod
+    def init(cfg: ModelConfig, rng: jax.Array, src_len: int = 48, image_size: int = 64):
+        model = SegOFA(cfg)
+        hw = (cfg.patch_image_size // 16) ** 2
+        dummy = dict(
+            src_tokens=jnp.zeros((1, src_len), jnp.int32),
+            patch_images=jnp.zeros((1, image_size, image_size, 3), jnp.float32),
+            patch_masks=jnp.ones((1,), bool),
+            bos_tokens=jnp.zeros((1, 1), jnp.int32),
+            aux_grid_ids=jnp.zeros((1, hw), jnp.int32),
+            aux_src_tokens=jnp.zeros((1, src_len), jnp.int32),
+            class_tokens=jnp.zeros((cfg.num_seg_tokens + 1, 4), jnp.int32),
+            class_lengths=jnp.ones((cfg.num_seg_tokens + 1,), jnp.int32),
+        )
+        init_fn = jax.jit(lambda rng, kw: model.init({"params": rng}, **kw))
+        variables = init_fn(rng, dummy)
+        return model, variables["params"]
