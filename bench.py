@@ -1,0 +1,71 @@
+"""Benchmark: 512px OFA-Base segmentation inference throughput (images/sec/chip).
+
+Matches BASELINE.json's headline metric.  The reference publishes no number
+(BASELINE.md), so ``vs_baseline`` is reported as null until a reference
+measurement exists.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": null}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from ifseg_tpu.config import model_config_for_arch
+    from ifseg_tpu.models.segofa import SegOFA, SegOFAVariables
+
+    cfg = model_config_for_arch("segofa_base")
+    model, params = SegOFAVariables.init(cfg, jax.random.PRNGKey(0))
+
+    batch = 8
+    s = cfg.patch_image_size
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(4, 100, size=(batch, 32)), jnp.int32)
+    img = jnp.asarray(rng.normal(size=(batch, s, s, 3)), jnp.float32)
+    bos = jnp.zeros((batch, 1), jnp.int32)
+
+    @jax.jit
+    def forward(params, src, img, bos):
+        logits, _ = model.apply(
+            {"params": params},
+            src_tokens=src,
+            patch_images=img,
+            bos_tokens=bos,
+            deterministic=True,
+        )
+        # scalar result: the end-of-run host readback forces completion of the
+        # whole dispatch queue (block_until_ready can return early through
+        # remote-execution tunnels; a value transfer cannot)
+        return jnp.sum(jnp.argmax(logits, axis=-1))
+
+    # warmup / compile (value readback = hard sync)
+    float(forward(params, src, img, bos))
+    float(forward(params, src, img, bos))
+
+    iters = 32
+    t0 = time.perf_counter()
+    outs = [forward(params, src, img, bos) for _ in range(iters)]
+    float(outs[-1])
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "segofa_base_512px_inference",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

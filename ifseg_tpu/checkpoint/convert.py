@@ -1,0 +1,302 @@
+"""Torch `ofa_base.pt` -> JAX pytree converter with vocab surgery.
+
+This is the gateway to end-to-end parity (SURVEY.md §7 step 4).  It implements
+as a *pure translation step* what the reference does imperatively during
+``load_checkpoint``:
+  - vocab surgery (models/segofa/segofa.py:247-290): if the loaded embedding
+    has one extra row vs len(dict)-num_seg and no <mask> -> truncate; if it is
+    short -> append N(0, d^-0.5) rows (the IFSeg case: +1 row for the extra
+    seg/unknown symbol accounting, see config.ModelConfig.vocab_size)
+  - shape-mismatch deletion (encoder_module.py:966-985,
+    decoder_module.py:892-938): checkpoint tensors whose shape differs from
+    the model (seg heads, seg position tables from a different
+    patch_image_size) are dropped and the fresh initialization is kept
+  - missing keys keep their fresh init (e.g. seg_embed_tokens, seg_projection
+    which do not exist in ofa_base.pt)
+
+Layout translation (torch -> flax):
+  Linear  weight (out, in)        -> kernel (in, out)      [transpose]
+  Conv2d  weight (out, in, kh, kw)-> kernel (kh, kw, in, out)
+  Embedding weight                -> embedding             [as-is]
+  LayerNorm weight/bias           -> scale/bias
+  per-layer rel-pos ModuleLists   -> one stacked (L, ...) table
+"""
+
+import logging
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a fairseq .pt checkpoint's model state as numpy (cpu, fp32)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    sd = state.get("model", state)
+    return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def _vocab_surgery(sd: Dict[str, np.ndarray], target_vocab: int, rng=None):
+    """segofa.py:247-290. Adjust embed_tokens rows to ``target_vocab``."""
+    key = "encoder.embed_tokens.weight"
+    if key not in sd:
+        return sd
+    loaded = sd[key].shape[0]
+    d = sd[key].shape[1]
+    if loaded == target_vocab + 1:
+        # truncate the trailing <mask> row (finetune-on-translation case)
+        for k in (
+            "encoder.embed_tokens.weight",
+            "decoder.embed_tokens.weight",
+            "encoder.output_projection.weight",
+            "decoder.output_projection.weight",
+        ):
+            if k in sd:
+                sd[k] = sd[k][:-1]
+    elif loaded < target_vocab:
+        n_add = target_vocab - loaded
+        rng = rng or np.random.default_rng(0)
+        new_rows = rng.normal(0.0, d ** -0.5, size=(n_add, d)).astype(
+            sd[key].dtype
+        )
+        logger.info("vocab surgery: appending %d embedding rows", n_add)
+        for k in ("encoder.embed_tokens.weight", "decoder.embed_tokens.weight"):
+            if k in sd:
+                sd[k] = np.concatenate([sd[k], new_rows], axis=0)
+    return sd
+
+
+# ------------------------------------------------------------- name mapping
+
+_LN = lambda: {"weight": "scale", "bias": "bias"}
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _map_linear(tree, dst, w, b=None):
+    _set(tree, dst + ("kernel",), np.ascontiguousarray(w.T))
+    if b is not None:
+        _set(tree, dst + ("bias",), b)
+
+
+def _map_conv(tree, dst, w):
+    _set(tree, dst + ("kernel",), np.ascontiguousarray(w.transpose(2, 3, 1, 0)))
+
+
+def _map_ln(tree, dst, w, b):
+    _set(tree, dst + ("scale",), w)
+    _set(tree, dst + ("bias",), b)
+
+
+def _resnet_paths(torch_name: str) -> Optional[Tuple[Tuple[str, ...], str]]:
+    """encoder.embed_images.<torch resnet name> -> our ResNetStem path.
+
+    torch: conv1, bn1, layer{1..3}.{i}.{conv1..3,bn1..3,downsample.0,downsample.1}
+    ours : conv1, bn1, layer{s}_{i}/{conv*,bn*,downsample_conv,downsample_bn}
+    """
+    m = re.match(r"(conv1|bn1)\.(.*)", torch_name)
+    if m:
+        return (m.group(1),), m.group(2)
+    m = re.match(r"layer(\d)\.(\d+)\.(conv\d|bn\d)\.(.*)", torch_name)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", m.group(3)), m.group(4)
+    m = re.match(r"layer(\d)\.(\d+)\.downsample\.(0|1)\.(.*)", torch_name)
+    if m:
+        sub = "downsample_conv" if m.group(3) == "0" else "downsample_bn"
+        return (f"layer{m.group(1)}_{m.group(2)}", sub), m.group(4)
+    return None
+
+
+def _convert_side(sd: Dict[str, np.ndarray], side: str, tree: Dict[str, Any]):
+    """Convert encoder.* or decoder.* keys into our nested layout."""
+    prefix = side + "."
+    sub: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            sub[k[len(prefix):]] = v
+
+    out = tree.setdefault(side, {})
+
+    # stacked per-layer rel-pos tables
+    for list_name, our_name in (
+        ("token_rel_pos_table_list", "token_rel_pos_table"),
+        ("image_rel_pos_table_list", "image_rel_pos_table"),
+        ("seg_rel_pos_table_list", "seg_rel_pos_table"),
+    ):
+        idx = 0
+        rows = []
+        while f"{list_name}.{idx}.weight" in sub:
+            rows.append(sub.pop(f"{list_name}.{idx}.weight"))
+            idx += 1
+        if rows:
+            out[our_name] = np.stack(rows, axis=0)
+
+    simple_embeds = {
+        "embed_positions.weight": "embed_positions",
+        "embed_image_positions.weight": "embed_image_positions",
+        "embed_seg_positions.weight": "embed_seg_positions",
+        "type_embedding.weight": "type_embedding",
+    }
+    lns = (
+        "layernorm_embedding",
+        "patch_layernorm_embedding",
+        "code_layernorm_embedding",
+        "pos_ln",
+        "image_pos_ln",
+        "seg_pos_ln",
+        "layer_norm",
+    )
+    linears = (
+        "pos_q_linear",
+        "pos_k_linear",
+        "self_pos_q_linear",
+        "self_pos_k_linear",
+        "cross_pos_q_linear",
+        "cross_pos_k_linear",
+        "image_proj",
+    )
+
+    for tk, ours in simple_embeds.items():
+        if tk in sub:
+            _set(out, (ours, "embedding"), sub.pop(tk))
+    for name in lns:
+        if f"{name}.weight" in sub:
+            _map_ln(out, (name,), sub.pop(f"{name}.weight"), sub.pop(f"{name}.bias"))
+    for name in linears:
+        if f"{name}.weight" in sub:
+            _map_linear(
+                out, (name,), sub.pop(f"{name}.weight"), sub.pop(f"{name}.bias", None)
+            )
+
+    if "seg_embed_tokens.weight" in sub:
+        out["seg_embed_tokens"] = sub.pop("seg_embed_tokens.weight")
+    if "seg_projection.weight" in sub:
+        out["seg_projection"] = sub.pop("seg_projection.weight")
+
+    # resnet stem
+    for k in [k for k in list(sub) if k.startswith("embed_images.")]:
+        mapped = _resnet_paths(k[len("embed_images."):])
+        v = sub.pop(k)
+        if mapped is None:
+            continue
+        path, leaf = mapped
+        path = ("embed_images",) + path
+        if leaf == "weight" and v.ndim == 4:
+            _map_conv(out, path, v)
+        elif v.ndim == 1:  # bn weight/bias/running_mean/running_var
+            name = k.rsplit(".", 1)[-1]
+            _set(out, path + (name,), v)
+
+    # transformer layers
+    layer_keys = [k for k in list(sub) if k.startswith("layers.")]
+    for k in layer_keys:
+        v = sub.pop(k)
+        m = re.match(r"layers\.(\d+)\.(.*)", k)
+        i, rest = int(m.group(1)), m.group(2)
+        lp = (f"layers_{i}",)
+        # attention projections
+        am = re.match(r"(self_attn|encoder_attn)\.(q_proj|k_proj|v_proj|out_proj)\.(weight|bias)", rest)
+        if am:
+            attn, proj, leaf = am.groups()
+            if leaf == "weight":
+                _map_linear(out, lp + (attn, proj), v)
+            else:
+                _set(out, lp + (attn, proj, "bias"), v)
+            continue
+        cm = re.match(r"(self_attn|encoder_attn)\.c_attn", rest)
+        if cm:
+            _set(out, lp + (cm.group(1), "c_attn"), v)
+            continue
+        fm = re.match(r"(fc1|fc2)\.(weight|bias)", rest)
+        if fm:
+            name, leaf = fm.groups()
+            if leaf == "weight":
+                _map_linear(out, lp + ("ffn", name), v)
+            else:
+                _set(out, lp + ("ffn", name, "bias"), v)
+            continue
+        nm = re.match(
+            r"(self_attn_layer_norm|encoder_attn_layer_norm|final_layer_norm|attn_ln|self_attn_ln|cross_attn_ln)\.(weight|bias)",
+            rest,
+        )
+        if nm:
+            name, leaf = nm.groups()
+            tgt = "scale" if leaf == "weight" else "bias"
+            _set(out, lp + (name, tgt), v)
+            continue
+        fl = re.match(r"ffn_layernorm\.(weight|bias)", rest)
+        if fl:
+            tgt = "scale" if fl.group(1) == "weight" else "bias"
+            _set(out, lp + ("ffn", "ffn_layernorm", tgt), v)
+            continue
+        if rest == "w_resid":
+            _set(out, lp + ("w_resid",), v)
+            continue
+        # unmatched layer param (e.g. adapters) — skip
+    return out
+
+
+def convert_torch_state_dict(
+    sd: Dict[str, np.ndarray],
+    target_vocab: int,
+    reference_params: Optional[Any] = None,
+) -> Dict[str, Any]:
+    """Full conversion.  With ``reference_params`` (a freshly-initialized
+    params tree), shape-mismatched or missing tensors fall back to the fresh
+    values (the reference's deletion/backfill semantics) and the result is
+    guaranteed to be loadable."""
+    sd = dict(sd)
+    sd = _vocab_surgery(sd, target_vocab)
+
+    tree: Dict[str, Any] = {}
+    # shared token embedding: encoder's copy wins (they are tied)
+    if "encoder.embed_tokens.weight" in sd:
+        tree["embed_tokens"] = {"embedding": sd["encoder.embed_tokens.weight"]}
+    _convert_side(sd, "encoder", tree)
+    _convert_side(sd, "decoder", tree)
+    # the torch tree nests embed_tokens under encoder/decoder; ours is shared
+    for side in ("encoder", "decoder"):
+        tree.get(side, {}).pop("embed_tokens", None)
+
+    if reference_params is not None:
+        tree = _reconcile(tree, reference_params)
+    return tree
+
+
+def _reconcile(tree, ref, path=""):
+    """Keep loaded values where shapes match; fresh init otherwise
+    (encoder_module.py:966-985: mismatched keys deleted, missing backfilled)."""
+    import jax
+
+    out = {}
+    if isinstance(ref, dict) or hasattr(ref, "items"):
+        for k, rv in ref.items():
+            lv = tree.get(k) if isinstance(tree, dict) else None
+            out[k] = _reconcile(lv if lv is not None else {}, rv, f"{path}/{k}")
+        # warn about loaded keys we have no slot for
+        if isinstance(tree, dict):
+            for k in tree:
+                if k not in out:
+                    logger.info("checkpoint key unused: %s/%s", path, k)
+        return out
+    # leaf
+    if tree is None or isinstance(tree, dict):
+        logger.info("missing from checkpoint, keeping fresh init: %s", path)
+        return ref
+    loaded = np.asarray(tree)
+    if loaded.shape != tuple(ref.shape):
+        logger.warning(
+            "shape mismatch %s: ckpt %s vs model %s — keeping fresh init",
+            path, loaded.shape, tuple(ref.shape),
+        )
+        return ref
+    return loaded.astype(np.asarray(ref).dtype if hasattr(ref, "dtype") else np.float32)

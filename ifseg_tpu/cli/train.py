@@ -1,0 +1,196 @@
+"""Training entry point (mirrors the reference train.py, forked fairseq_cli).
+
+Flow (ref train.py:51-256):
+  setup task -> build trainer -> restore checkpoint (with torch-checkpoint
+  translation for --restore-file=ofa_*.pt) -> epoch loop:
+  train epoch -> validate_and_save (best-mIoU checkpointing + early stop).
+
+Flags use the reference names (config.from_flags), so the reference run
+scripts translate 1:1:
+
+    python -m ifseg_tpu.cli.train $data --arch=segofa_base \\
+        --num-seg-tokens=150 --category-list='wall, building, ...' ...
+"""
+
+import logging
+import math
+import os
+import sys
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ifseg_tpu.config import Config, from_flags
+from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh, initialize_distributed
+from ifseg_tpu.tasks.segmentation import SegmentationTask
+from ifseg_tpu.train.trainer import Trainer
+from ifseg_tpu.utils import metrics as metrics_lib
+from ifseg_tpu.utils.progress import progress_bar
+
+logger = logging.getLogger("ifseg_tpu.train")
+
+
+def main(cfg: Config) -> None:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        stream=sys.stdout,
+    )
+    initialize_distributed(
+        cfg.distributed.coordinator_address,
+        cfg.distributed.num_processes,
+        cfg.distributed.process_id,
+    )
+    mesh = build_mesh(
+        MeshConfig(
+            data_parallel=cfg.distributed.data_parallel,
+            fsdp=cfg.distributed.fsdp,
+            tensor_parallel=cfg.distributed.tensor_parallel,
+        )
+    )
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
+
+    task = SegmentationTask.setup_task(cfg)
+    train_ds = task.load_dataset("train", epoch=1)
+    task.load_dataset("valid")
+
+    # total updates for the cosine schedule (ref train.py:176-184)
+    global_batch = cfg.optimization.batch_size * max(cfg.optimization.update_freq, 1)
+    iters_per_epoch = len(train_ds) * jax.process_count() // global_batch
+    total_updates = cfg.optimization.max_epoch * max(iters_per_epoch, 1)
+    logger.info("iters/epoch %d, total updates %d", iters_per_epoch, total_updates)
+
+    ds = task.datasets["train"]
+    trainer = Trainer(
+        cfg,
+        mesh,
+        class_tokens=ds.class_tokens,
+        class_lengths=ds.class_lengths,
+        total_num_updates=total_updates,
+    )
+
+    params = maybe_restore_pretrained(cfg, trainer)
+    trainer.init_state(params)
+
+    from ifseg_tpu.checkpoint.manager import CheckpointManager
+    from ifseg_tpu.eval.evaluator import Evaluator
+
+    ckpt = CheckpointManager(cfg.checkpoint)
+    start_epoch = restore_training_state(cfg, trainer, ckpt)
+    evaluator = Evaluator(cfg, trainer.model, trainer.mesh)
+
+    for epoch in range(start_epoch, cfg.optimization.max_epoch + 1):
+        train_epoch(cfg, task, trainer, epoch)
+        val = validate(cfg, task, trainer, epoch, evaluator)
+        metric = val.get(cfg.checkpoint.best_checkpoint_metric)
+        if epoch % cfg.checkpoint.save_interval == 0:
+            ckpt.save(
+                epoch,
+                trainer.state,
+                extra={"epoch": epoch, "metrics": None},
+                val_metric=metric,
+            )
+    logger.info("done training; best %s=%s", cfg.checkpoint.best_checkpoint_metric,
+                ckpt.manifest.get("best_metric"))
+
+
+def maybe_restore_pretrained(cfg: Config, trainer: Trainer):
+    """--restore-file=ofa_base.pt — torch checkpoint translation
+    (SURVEY.md §7 step 4)."""
+    path = cfg.checkpoint.restore_file
+    if not path or not os.path.exists(path):
+        if path:
+            logger.warning("restore file %s not found; training from scratch", path)
+        return None
+    if path.endswith(".pt"):
+        from ifseg_tpu.checkpoint.convert import (
+            convert_torch_state_dict,
+            load_torch_checkpoint,
+        )
+        from ifseg_tpu.models.segofa import SegOFAVariables
+
+        logger.info("translating torch checkpoint %s", path)
+        _, fresh = SegOFAVariables.init(cfg.model, jax.random.PRNGKey(0))
+        sd = load_torch_checkpoint(path)
+        return convert_torch_state_dict(
+            sd, cfg.model.vocab_size, reference_params=fresh
+        )
+    raise ValueError(f"unsupported restore file {path}")
+
+
+def restore_training_state(cfg, trainer, ckpt) -> int:
+    last = ckpt.latest()
+    if last is None or cfg.checkpoint.reset_dataloader and cfg.checkpoint.reset_optimizer:
+        return 1
+    if last is not None and not cfg.checkpoint.reset_optimizer:
+        trainer.state = ckpt.load(last, trainer.state)
+        extra = ckpt.load_extra(last)
+        return int(extra.get("epoch", 0)) + 1
+    return 1
+
+
+def train_epoch(cfg, task, trainer, epoch: int) -> None:
+    if epoch > 1:
+        task.load_dataset("train", epoch=epoch)
+    itr = task.get_batch_iterator(
+        "train",
+        batch_size=cfg.optimization.batch_size * max(cfg.optimization.update_freq, 1),
+        seed=cfg.optimization.seed,
+        epoch=epoch,
+    )
+    logs_buffer = []
+    with metrics_lib.aggregate(f"train_epoch") as agg:
+        progress = progress_bar(
+            itr.next_epoch_itr(),
+            total=len(itr),
+            epoch=epoch,
+            log_interval=cfg.common.log_interval,
+            tag="train",
+        )
+        for i, batch in enumerate(progress):
+            logs = trainer.train_step(batch)
+            logs_buffer.append(jax.device_get(logs))
+            if (i + 1) % cfg.common.log_interval == 0:
+                task.reduce_metrics(logs_buffer)
+                logs_buffer.clear()
+                progress.log(agg.get_smoothed_values(), step=trainer.get_num_updates())
+        if logs_buffer:
+            task.reduce_metrics(logs_buffer)
+        progress.print(agg.get_smoothed_values(), tag="train", step=trainer.get_num_updates())
+    metrics_lib.reset_meters("train_epoch")
+
+
+def validate(cfg, task, trainer, epoch: int, evaluator) -> dict:
+    """Native-resolution eval over the valid TSV (ref train.py:434-516)."""
+    ds = task.datasets["valid"]
+    with metrics_lib.aggregate("valid", new_root=True) as agg:
+        t0 = time.time()
+        n = 0
+        logs = []
+        for i in range(len(ds)):
+            sample = ds.get_eval_sample(i)
+            out = evaluator.eval_sample(trainer.state.params, sample)
+            logs.append(out)
+            n += 1
+        task.reduce_metrics(logs)
+        vals = agg.get_smoothed_values()
+        vals["num_images"] = n
+        vals["sec"] = round(time.time() - t0, 1)
+    logger.info("valid epoch %d: %s", epoch, _fmt(vals))
+    return vals
+
+
+def _fmt(vals: dict) -> str:
+    return " | ".join(f"{k} {v}" for k, v in vals.items())
+
+
+def cli_main(argv: Optional[List[str]] = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = from_flags(argv)
+    main(cfg)
+
+
+if __name__ == "__main__":
+    cli_main()

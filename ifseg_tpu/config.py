@@ -94,6 +94,8 @@ class ModelConfig:
 
     # numerics
     dtype: str = "bfloat16"  # compute dtype; params are always fp32
+    # fused Pallas attention (TPU only; falls back to XLA elsewhere)
+    use_flash_attention: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -29,6 +29,7 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     kdim: Optional[int] = None
+    use_flash: bool = False  # fused Pallas path (TPU; exact-bias attention)
 
     @nn.compact
     def __call__(
@@ -58,25 +59,44 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(b, lk, self.num_heads, head_dim)
         v = v.reshape(b, lk, self.num_heads, head_dim)
 
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        flash_ok = (
+            self.use_flash
+            and (self.dropout == 0.0 or deterministic)
+            and (bias is None or bias.ndim == 3)
         )
-        if bias is not None:
-            if bias.ndim == 3:
-                bias = bias[None]
-            logits = logits + bias.astype(jnp.float32)
-        if causal:
-            causal_mask = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
-            logits = jnp.where(causal_mask[None, None], logits, NEG_INF)
-        if key_padding_mask is not None:
-            logits = jnp.where(
-                key_padding_mask[:, None, None, :], NEG_INF, logits
-            )
-        probs = nn.softmax(logits, axis=-1).astype(self.dtype)
-        if self.dropout > 0.0:
-            probs = nn.Dropout(rate=self.dropout)(probs, deterministic=deterministic)
+        if flash_ok:
+            from ifseg_tpu.ops.flash_attention import flash_attention_bias
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            out = flash_attention_bias(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias,
+                key_padding_mask,
+                causal,
+            ).transpose(0, 2, 1, 3).astype(self.dtype)
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            if bias is not None:
+                if bias.ndim == 3:
+                    bias = bias[None]
+                logits = logits + bias.astype(jnp.float32)
+            if causal:
+                causal_mask = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
+                logits = jnp.where(causal_mask[None, None], logits, NEG_INF)
+            if key_padding_mask is not None:
+                logits = jnp.where(
+                    key_padding_mask[:, None, None, :], NEG_INF, logits
+                )
+            probs = nn.softmax(logits, axis=-1).astype(self.dtype)
+            if self.dropout > 0.0:
+                probs = nn.Dropout(rate=self.dropout)(
+                    probs, deterministic=deterministic
+                )
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
         if self.scale_heads:
             c_attn = self.param(
                 "c_attn", nn.initializers.ones, (self.num_heads,), jnp.float32

@@ -11,20 +11,22 @@ ref :128-137).  Output position i predicts grid cell i (the last position is
 the EOS slot).
 """
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ifseg_tpu.config import ModelConfig
-from ifseg_tpu.ops.resize import resize_bilinear
-from .encoder import cfg_dtype
+from ifseg_tpu.ops.resize import bilinear_matrix_dyn, resize_bilinear
+from .encoder import _flash_enabled, cfg_dtype
 from .layers import DecoderLayer
 from .position import (
     gather_rel_bias,
     image_num_rel_dis,
     interp_seg_bias_with_bos,
+    interp_seg_bias_with_bos_mats,
     make_image_bucket_position,
 )
 
@@ -98,6 +100,7 @@ class Decoder(nn.Module):
                 activation_dropout=cfg.activation_dropout,
                 drop_path_rate=float(dpr[i]),
                 dtype=cfg_dtype(cfg),
+                use_flash=_flash_enabled(cfg),
                 name=f"layers_{i}",
             )
             for i in range(nlayers)
@@ -151,6 +154,7 @@ class Decoder(nn.Module):
         h, w = encoder_out["image_embed_shape"]
         hw = h * w
         enc = encoder_out["encoder_out"]  # (B, L, D)
+        valid_hw = encoder_out.get("valid_hw")  # padded-eval: traced (hp, wp)
 
         if cfg.decoder_input_type == "encoder_output":
             image_feats = enc[:, :hw]
@@ -167,7 +171,27 @@ class Decoder(nn.Module):
         if cfg.dropout > 0:
             x = self.dropout_layer(x, deterministic=deterministic)
 
-        tgt_pos = self._seg_pos_embed(h, w)  # (1+hw, D)
+        sb = cfg.seg_bucket_size
+        if valid_hw is None:
+            tgt_pos = self._seg_pos_embed(h, w)  # (1+hw, D)
+            ah = aw = None
+        else:
+            # dynamic-valid interpolation of the seg-grid positional table
+            # (decoder_module.py:541-550 under padded static shapes)
+            hp, wp = valid_hw
+            ah = bilinear_matrix_dyn(sb, h, hp)
+            aw = bilinear_matrix_dyn(sb, w, wp)
+            grid_ids = (
+                np.arange(sb, dtype=np.int64)[None, :]
+                + np.arange(sb, dtype=np.int64)[:, None] * sb
+                + 1
+            ).reshape(-1)
+            pe = self.embed_seg_positions(jnp.asarray(grid_ids)).reshape(sb, sb, -1)
+            pe = jnp.einsum("Hi,ijd->Hjd", ah, pe.astype(jnp.float32))
+            pe = jnp.einsum("Wj,Hjd->HWd", aw, pe).reshape(hw, -1)
+            bos_pe = self.embed_seg_positions(jnp.asarray([0])).astype(jnp.float32)
+            tgt_pos = jnp.concatenate([bos_pe, pe], axis=0)
+
         tgt_pos_ln = self.seg_pos_ln(tgt_pos)
         self_bias0 = self._bias(
             tgt_pos_ln, tgt_pos_ln, self.self_pos_q_linear, self.self_pos_k_linear
@@ -177,19 +201,31 @@ class Decoder(nn.Module):
             tgt_pos_ln, src_pos, self.cross_pos_q_linear, self.cross_pos_k_linear
         )
 
-        sb = cfg.seg_bucket_size
         seg_bucket = make_image_bucket_position(sb, (2 * sb - 1) * (2 * sb - 1) + 3)
+
+        self_padding_mask = None
+        if valid_hw is not None:
+            grid_valid = encoder_out["grid_valid"]  # (hw,)
+            b = x.shape[0]
+            self_padding_mask = jnp.broadcast_to(
+                jnp.concatenate([jnp.zeros((1,), bool), ~grid_valid])[None, :],
+                (b, 1 + hw),
+            )
 
         enc_pad = encoder_out["encoder_padding_mask"]
         for i, layer in enumerate(self.layers):
             seg_b = gather_rel_bias(self.seg_rel_pos_table[i], seg_bucket)
-            seg_b = interp_seg_bias_with_bos(seg_b, (sb, sb), (h, w))
+            if valid_hw is None:
+                seg_b = interp_seg_bias_with_bos(seg_b, (sb, sb), (h, w))
+            else:
+                seg_b = interp_seg_bias_with_bos_mats(seg_b, ah, aw, (sb, sb))
             x = layer(
                 x,
                 encoder_out=enc,
                 encoder_padding_mask=enc_pad,
                 self_attn_bias=self_bias0 + seg_b,
                 cross_attn_bias=cross_bias,
+                self_padding_mask=self_padding_mask,
                 causal=not full_context_alignment,
                 deterministic=deterministic,
             )

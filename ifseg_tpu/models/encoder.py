@@ -19,18 +19,21 @@ which materializes per-sample copies.
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ifseg_tpu.config import ModelConfig
-from ifseg_tpu.ops.resize import resize_bilinear
+from ifseg_tpu.ops.resize import bilinear_matrix_dyn, resize_bilinear
 from .layers import EncoderLayer
 from .position import (
     gather_rel_bias,
     image_grid_position_ids,
     image_num_rel_dis,
+    image_rel_bucket_direct,
     image_rp_bucket_for_grid,
     interp_grid_bias,
+    interp_grid_bias_mats,
     make_token_bucket_position,
 )
 from .resnet import RESNET_LAYERS, ResNetStem
@@ -102,6 +105,7 @@ class Encoder(nn.Module):
                 activation_dropout=cfg.activation_dropout,
                 drop_path_rate=float(dpr[i]),
                 dtype=cfg_dtype(cfg),
+                use_flash=_flash_enabled(cfg),
                 name=f"layers_{i}",
             )
             for i in range(nlayers)
@@ -177,11 +181,11 @@ class Encoder(nn.Module):
         pos_embed_all,  # (L, D) post-LN concat [image ‖ text]
         src_len: int,
         image_hw: Tuple[int, int],
-        rel_bias_grid_hw: Tuple[int, int],
-        deterministic: bool,
+        rel_bias_grid_hw: Optional[Tuple[int, int]] = None,
+        deterministic: bool = True,
+        img_bias_fn=None,  # (layer_idx) -> (H, hw, hw); overrides the static path
     ):
         cfg = self.cfg
-        heads = cfg.encoder_attention_heads
         l_total = x.shape[1]
         hw = image_hw[0] * image_hw[1]
 
@@ -190,12 +194,18 @@ class Encoder(nn.Module):
         token_bucket = make_token_bucket_position(cfg.token_bucket_size)[
             :src_len, :src_len
         ]
-        image_bucket = image_rp_bucket_for_grid(*rel_bias_grid_hw, cfg.image_bucket_size)
+        if img_bias_fn is None:
+            image_bucket = image_rp_bucket_for_grid(
+                *rel_bias_grid_hw, cfg.image_bucket_size
+            )
+
+            def img_bias_fn(i):
+                b = gather_rel_bias(self.image_rel_pos_table[i], image_bucket)
+                return interp_grid_bias(b, rel_bias_grid_hw, image_hw)
 
         for i, layer in enumerate(self.layers):
             tok_b = gather_rel_bias(self.token_rel_pos_table[i], token_bucket)
-            img_b = gather_rel_bias(self.image_rel_pos_table[i], image_bucket)
-            img_b = interp_grid_bias(img_b, rel_bias_grid_hw, image_hw)
+            img_b = img_bias_fn(i)
             bias = bias0
             bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)
             bias = bias.at[:, :hw, :hw].add(img_b)
@@ -260,6 +270,110 @@ class Encoder(nn.Module):
             "image_embed_shape": (h, w),
         }
 
+    def encode_padded(
+        self,
+        src_tokens,  # (B, T)
+        patch_images,  # (B, Hb, Wb, 3) zero-padded to a bucket, normalized
+        img_h,  # traced scalar: valid image height
+        img_w,  # traced scalar: valid image width
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        """Native-resolution eval forward under one compiled shape per bucket.
+
+        The reference runs eval at the exact resized shape
+        (encoder_module.py:677-851 with get_patch_images_info :333-372); under
+        XLA we zero-pad the image into a shape bucket and thread the *valid*
+        extent (img_h, img_w) through as traced scalars: the ResNet masks its
+        padding (see resnet.ResNetStem), position embeddings and relative
+        biases are produced by dynamic-valid interpolation matrices
+        (ops.resize.bilinear_matrix_dyn), and invalid patch tokens are
+        attention-masked.  Valid-token outputs bit-match the unpadded forward.
+        """
+        cfg = self.cfg
+        feats = self.embed_images(
+            patch_images.astype(cfg_dtype(cfg)), valid_hw=(img_h, img_w)
+        )
+        b, Hp, Wp, _ = feats.shape
+        hw = Hp * Wp
+        hp = -(-img_h // 16)
+        wp = -(-img_w // 16)
+        resnet_feats = feats.reshape(b, hw, -1)
+        image_embed_pre = self.image_proj(resnet_feats)
+
+        r = jnp.arange(hw) // Wp
+        c = jnp.arange(hw) % Wp
+        grid_valid = (r < hp) & (c < wp)  # (hw,)
+        image_pad = jnp.broadcast_to(~grid_valid[None, :], (b, hw))
+        text_pad = src_tokens == PAD
+        padding_mask = jnp.concatenate([image_pad, text_pad], axis=1)
+
+        x_text = self._text_embed(src_tokens, deterministic)
+        x_img = self._image_token_embed(image_embed_pre, src_tokens, deterministic)
+        x = jnp.concatenate([x_img, x_text], axis=1)
+        x = x * (1.0 - padding_mask[:, :, None].astype(x.dtype))
+
+        t = src_tokens.shape[1]
+        pos_text = self.pos_ln(self.embed_positions(jnp.arange(t)))
+
+        orig_hw = cfg.orig_patch_image_size // 16
+        use_interp = (hp * wp) > (orig_hw * orig_hw)
+        ah = bilinear_matrix_dyn(orig_hw, Hp, hp)
+        aw = bilinear_matrix_dyn(orig_hw, Wp, wp)
+
+        def pos_interp(_):
+            ids = image_grid_position_ids(orig_hw, orig_hw, cfg.image_bucket_size)
+            pe = self.embed_image_positions(jnp.asarray(ids)).reshape(
+                orig_hw, orig_hw, -1
+            )
+            pe = jnp.einsum("Hi,ijd->Hjd", ah, pe.astype(jnp.float32))
+            pe = jnp.einsum("Wj,Hjd->HWd", aw, pe)
+            return pe.reshape(hw, -1)
+
+        def pos_gather(_):
+            ids = jnp.clip(
+                r * cfg.image_bucket_size + c + 1, 0, cfg.image_bucket_size**2
+            )
+            return self.embed_image_positions(ids).astype(jnp.float32)
+
+        pos_img_raw = jax.lax.cond(use_interp, pos_interp, pos_gather, None)
+        pos_img = self.image_pos_ln(pos_img_raw)
+        pos_all = jnp.concatenate([pos_img, pos_text], axis=0)
+
+        orig_bucket = image_rp_bucket_for_grid(
+            orig_hw, orig_hw, cfg.image_bucket_size
+        )
+        padded_bucket = image_rel_bucket_direct(Hp, Wp, cfg.image_bucket_size)
+
+        def img_bias_fn(i):
+            def interp(_):
+                bias = gather_rel_bias(self.image_rel_pos_table[i], orig_bucket)
+                return interp_grid_bias_mats(bias, ah, aw, (orig_hw, orig_hw))
+
+            def direct(_):
+                return gather_rel_bias(self.image_rel_pos_table[i], padded_bucket)
+
+            return jax.lax.cond(use_interp, interp, direct, None)
+
+        x = self._run_layers(
+            x,
+            padding_mask,
+            pos_all,
+            src_len=t,
+            image_hw=(Hp, Wp),
+            deterministic=deterministic,
+            img_bias_fn=img_bias_fn,
+        )
+        return {
+            "encoder_out": x,
+            "encoder_padding_mask": padding_mask,
+            "position_embeddings": pos_all,
+            "image_embed_before_scale": image_embed_pre,
+            "image_embed_before_proj": resnet_feats,
+            "image_embed_shape": (Hp, Wp),
+            "valid_hw": (hp, wp),
+            "grid_valid": grid_valid,
+        }
+
     def encode_artificial(
         self,
         src_tokens,  # (B, T)
@@ -308,6 +422,14 @@ class Encoder(nn.Module):
             "image_embed_before_proj": None,
             "image_embed_shape": (h, w),
         }
+
+
+def _flash_enabled(cfg: ModelConfig) -> bool:
+    if not cfg.use_flash_attention:
+        return False
+    from ifseg_tpu.ops.flash_attention import flash_available
+
+    return flash_available()
 
 
 def cfg_dtype(cfg: ModelConfig):

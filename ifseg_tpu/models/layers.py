@@ -78,6 +78,7 @@ class EncoderLayer(nn.Module):
     activation_dropout: float = 0.0
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None, self_attn_bias=None, deterministic=True):
@@ -90,6 +91,7 @@ class EncoderLayer(nn.Module):
             scale_heads=self.scale_heads,
             dropout=self.attention_dropout,
             dtype=self.dtype,
+            use_flash=self.use_flash,
             name="self_attn",
         )(y, bias=self_attn_bias, key_padding_mask=padding_mask, deterministic=deterministic)
         if self.scale_attn:
@@ -126,6 +128,7 @@ class DecoderLayer(nn.Module):
     activation_dropout: float = 0.0
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -148,6 +151,7 @@ class DecoderLayer(nn.Module):
             scale_heads=self.scale_heads,
             dropout=self.attention_dropout,
             dtype=self.dtype,
+            use_flash=self.use_flash,
             name="self_attn",
         )(
             y,
@@ -172,6 +176,7 @@ class DecoderLayer(nn.Module):
                 scale_heads=self.scale_heads,
                 dropout=self.attention_dropout,
                 dtype=self.dtype,
+                use_flash=self.use_flash,
                 name="encoder_attn",
             )(
                 y,

@@ -92,6 +92,22 @@ def image_rp_bucket_for_grid(h: int, w: int, image_bucket_size: int) -> np.ndarr
     return table[np.ix_(pos, pos)].astype(np.int32)
 
 
+@lru_cache(maxsize=None)
+def image_rel_bucket_direct(h: int, w: int, bucket_size: int) -> np.ndarray:
+    """(h*w, h*w) bucket indices computed directly from grid coordinates
+    (equivalent to table[pos, pos] for grids within the bucket, but safe for
+    padded grids wider than ``bucket_size``: out-of-range deltas clip).
+
+    idx = (dr + B - 1) * (2B - 1) + (dc + B - 1).
+    """
+    r = np.arange(h * w) // w
+    c = np.arange(h * w) % w
+    dr = np.clip(r[:, None] - r[None, :], -(bucket_size - 1), bucket_size - 1)
+    dc = np.clip(c[:, None] - c[None, :], -(bucket_size - 1), bucket_size - 1)
+    idx = (dr + bucket_size - 1) * (2 * bucket_size - 1) + (dc + bucket_size - 1)
+    return idx.astype(np.int32)
+
+
 def gather_rel_bias(table_weight, rp_bucket) -> jnp.ndarray:
     """Per-layer bias lookup: (num_rel_dis, heads) table x (L, L) int buckets
     -> (heads, L, L) fp32."""
@@ -110,14 +126,23 @@ def interp_grid_bias(bias, src_hw, dst_hw) -> jnp.ndarray:
     dh, dw = dst_hw
     if (sh, sw) == (dh, dw):
         return bias
-    heads = bias.shape[0]
-    b = bias.reshape(heads, sh, sw, sh, sw).astype(jnp.float32)
     ah = jnp.asarray(bilinear_matrix(sh, dh))
     aw = jnp.asarray(bilinear_matrix(sw, dw))
+    return interp_grid_bias_mats(bias, ah, aw, src_hw)
+
+
+def interp_grid_bias_mats(bias, ah, aw, src_hw) -> jnp.ndarray:
+    """Matrix-parameterized grid-pair bias interpolation; ``ah`` (dh, sh) and
+    ``aw`` (dw, sw) may be runtime (dynamic-valid) matrices from
+    ops.resize.bilinear_matrix_dyn for the padded native-resolution eval path."""
+    sh, sw = src_hw
+    heads = bias.shape[0]
+    b = bias.reshape(heads, sh, sw, sh, sw).astype(jnp.float32)
     b = jnp.einsum("Hi,hiwjv->hHwjv", ah, b)
     b = jnp.einsum("Wi,hHijv->hHWjv", aw, b)
     b = jnp.einsum("Ji,hHWiv->hHWJv", ah, b)
     b = jnp.einsum("Vi,hHWJi->hHWJV", aw, b)
+    dh, dw = ah.shape[0], aw.shape[0]
     return b.reshape(heads, dh * dw, dh * dw)
 
 
@@ -133,9 +158,17 @@ def interp_seg_bias_with_bos(bias, src_hw, dst_hw) -> jnp.ndarray:
     dh, dw = dst_hw
     if (sh, sw) == (dh, dw):
         return bias
-    heads = bias.shape[0]
     ah = jnp.asarray(bilinear_matrix(sh, dh))
     aw = jnp.asarray(bilinear_matrix(sw, dw))
+    return interp_seg_bias_with_bos_mats(bias, ah, aw, src_hw)
+
+
+def interp_seg_bias_with_bos_mats(bias, ah, aw, src_hw) -> jnp.ndarray:
+    """Matrix-parameterized variant of the seg-bias interpolation (runtime
+    matrices allowed, see interp_grid_bias_mats)."""
+    sh, sw = src_hw
+    dh, dw = ah.shape[0], aw.shape[0]
+    heads = bias.shape[0]
 
     def interp_flat(x, axis_shape):  # x: (heads, N, sh*sw) -> (heads, N, dh*dw)
         n = x.shape[1]

@@ -61,6 +61,17 @@ def _conv(features, kernel, stride, name, dtype):
     )
 
 
+def _valid_mask(y, valid_hw):
+    """Zero features outside the top-left ``valid_hw`` region (no-op if None)."""
+    if valid_hw is None:
+        return y
+    vh, vw = valid_hw
+    r = jnp.arange(y.shape[1])[:, None]
+    c = jnp.arange(y.shape[2])[None, :]
+    m = (r < vh) & (c < vw)
+    return y * m[None, :, :, None].astype(y.dtype)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -68,10 +79,14 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_in_hw=None, valid_out_hw=None):
+        """``valid_in_hw`` masks before the 3x3 conv (its zero-padding
+        semantics must see zeros beyond the valid edge); ``valid_out_hw``
+        masks the block output."""
         width = self.planes
         out = _conv(width, 1, 1, "conv1", self.dtype)(x)
         out = nn.relu(FrozenBN(width, dtype=self.dtype, name="bn1")(out))
+        out = _valid_mask(out, valid_in_hw)
         out = _conv(width, 3, self.stride, "conv2", self.dtype)(out)
         out = nn.relu(FrozenBN(width, dtype=self.dtype, name="bn2")(out))
         out = _conv(width * 4, 1, 1, "conv3", self.dtype)(out)
@@ -81,7 +96,7 @@ class Bottleneck(nn.Module):
             identity = FrozenBN(width * 4, dtype=self.dtype, name="downsample_bn")(identity)
         else:
             identity = x
-        return nn.relu(identity + out)
+        return _valid_mask(nn.relu(identity + out), valid_out_hw)
 
 
 class ResNetStem(nn.Module):
@@ -94,19 +109,39 @@ class ResNetStem(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
+        """``valid_hw=(h, w)`` (traced scalars) marks the top-left valid pixel
+        region of a zero-padded input.  Features outside the (stagewise
+        ceil-divided) valid region are zeroed after every stage, which makes a
+        padded-image forward bit-match an unpadded one: torch's conv zero
+        padding at the true image border is exactly reproduced by zeros in the
+        padded region (post-normalize pad value 0.0 == torch's conv pad), and
+        max_pool windows only ever add relu-nonnegative zeros."""
+
+        masked = valid_hw is not None
+        vh, vw = valid_hw if masked else (None, None)
+        ceil2 = lambda v: None if v is None else -(-v // 2)
+        cur = lambda: (vh, vw) if masked else None
+
         x = _conv(64, 7, 2, "conv1", self.dtype)(x)
-        x = nn.relu(FrozenBN(64, dtype=self.dtype, name="bn1")(x))
+        vh, vw = ceil2(vh), ceil2(vw)
+        x = _valid_mask(nn.relu(FrozenBN(64, dtype=self.dtype, name="bn1")(x)), cur())
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        vh, vw = ceil2(vh), ceil2(vw)
+        x = _valid_mask(x, cur())
         for stage, (blocks, planes, stride) in enumerate(
             zip(self.layers, (64, 128, 256), (1, 2, 2)), start=1
         ):
             for i in range(blocks):
+                s = stride if i == 0 else 1
+                in_hw = cur()
+                if s == 2:
+                    vh, vw = ceil2(vh), ceil2(vw)
                 x = Bottleneck(
                     planes,
-                    stride=stride if i == 0 else 1,
+                    stride=s,
                     downsample=(i == 0),
                     dtype=self.dtype,
                     name=f"layer{stage}_{i}",
-                )(x)
+                )(x, valid_in_hw=in_hw, valid_out_hw=cur())
         return x

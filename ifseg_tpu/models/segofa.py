@@ -84,6 +84,28 @@ class SegOFA(nn.Module):
     def encode_only(self, src_tokens, patch_images, patch_masks=None, deterministic=True):
         return self.encoder.encode(src_tokens, patch_images, patch_masks, deterministic)
 
+    def eval_forward(
+        self,
+        src_tokens,  # (B, T)
+        patch_images,  # (B, Hb, Wb, 3) zero-padded to a shape bucket
+        img_h,  # traced valid height
+        img_w,  # traced valid width
+        bos_tokens,  # (B, 1)
+        full_context_alignment: bool = False,
+    ):
+        """Native-resolution eval forward (padded static shapes; see
+        Encoder.encode_padded).  Returns (logits (B, 1+HpWp, C), encoder_out)."""
+        enc = self.encoder.encode_padded(
+            src_tokens, patch_images, img_h, img_w, deterministic=True
+        )
+        logits = self.decoder(
+            bos_tokens,
+            enc,
+            full_context_alignment=full_context_alignment,
+            deterministic=True,
+        )
+        return logits, enc
+
 
 class SegOFAVariables:
     """Helper to init / describe SegOFA parameter pytrees."""

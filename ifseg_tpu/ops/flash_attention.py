@@ -1,0 +1,171 @@
+"""Fused attention with additive position bias (Pallas TPU kernel).
+
+OFA attention needs per-layer additive biases (abs q·k bias + token/image
+relative biases, SURVEY.md "hard parts"), which rules out stock flash kernels.
+At IFSeg sequence lengths (~1.1k-4.2k tokens) whole-K/V blocks fit VMEM, so
+the kernel streams q-blocks against resident K/V and never materializes the
+(B, H, Lq, Lk) logits in HBM — the reference materializes them per layer
+(unify_multihead_attention.py:464-489), which is the main HBM-bandwidth cost
+of the torch model.
+
+Layout: q (B, H, Lq, D), k/v (B, H, Lk, D), bias (H, Lq, Lk) fp32 shared
+across the batch (all OFA biases are batch-independent), optional key padding
+mask (B, Lk).  fp32 accumulation on the MXU, output in the input dtype.
+
+Backward falls back to an XLA recompute (attention_dropout=0 throughout
+IFSeg, so forward-kernel + recompute-backward is exact); the fused kernel is
+on the eval/serving hot path where it counts.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is unavailable on some CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+NEG_INF = -1e9
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, causal, lq, lk, bq):
+    i = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)  # (bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (Lk, D)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, Lk)
+    logits += bias_ref[0].astype(jnp.float32)
+    # key padding / tail-padding mask: True = masked out
+    mask = mask_ref[0, 0] != 0  # (Lk,)
+    logits = jnp.where(mask[None, :], NEG_INF, logits)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
+        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(cols > rows + (lk - lq), NEG_INF, logits)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / s
+    out = jax.lax.dot_general(
+        probs, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _attention_xla(q, k, v, bias, key_padding_mask, causal):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias[None].astype(jnp.float32)
+    if causal:
+        lq, lk = logits.shape[-2:]
+        cm = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
+        logits = jnp.where(cm[None, None], logits, NEG_INF)
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def flash_attention_bias(q, k, v, bias, key_padding_mask, causal=False):
+    """Fused attention forward; exact XLA recompute backward.
+
+    q (B,H,Lq,D); k,v (B,H,Lk,D); bias (H,Lq,Lk) fp32 or None;
+    key_padding_mask (B,Lk) bool (True = pad) or None.
+    """
+    return _flash_forward(q, k, v, bias, key_padding_mask, causal)
+
+
+# None = auto (interpret when not on TPU hardware); tests may force True
+INTERPRET = None
+
+
+def _interpret_mode() -> bool:
+    if INTERPRET is not None:
+        return INTERPRET
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _flash_forward(q, k, v, bias, key_padding_mask, causal):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bq = min(256, max(128, lq))
+    lq_p = -(-lq // bq) * bq
+    lk_p = -(-lk // 128) * 128
+
+    qp = _pad_to(q, lq_p, 2)
+    kp = _pad_to(k, lk_p, 2)
+    vp = _pad_to(v, lk_p, 2)
+    if bias is None:
+        bias = jnp.zeros((h, lq, lk), jnp.float32)
+    bias_p = _pad_to(_pad_to(bias.astype(jnp.float32), lq_p, 1), lk_p, 2)
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((b, lk), bool)
+    maskp = _pad_to(key_padding_mask.astype(jnp.int32), lk_p, 1)
+    # tail keys beyond lk are always masked
+    tail = jnp.arange(lk_p) >= lk
+    maskp = jnp.maximum(maskp, tail[None].astype(jnp.int32))
+    maskp = maskp[:, None, :]  # (B, 1, Lk): 2D trailing dims for TPU tiling
+
+    grid = (b, h, lq_p // bq)
+    kernel = functools.partial(
+        _attn_kernel, causal=causal, lq=lq, lk=lk, bq=bq
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, lk_p, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, lk_p, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, bq, lk_p), lambda b_, h_, i: (h_, i, 0)),
+            pl.BlockSpec((1, 1, lk_p), lambda b_, h_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d), q.dtype),
+        interpret=_interpret_mode(),
+    )(qp, kp, vp, bias_p, maskp)
+    return out[:, :, :lq]
+
+
+def _fwd(q, k, v, bias, key_padding_mask, causal):
+    return _flash_forward(q, k, v, bias, key_padding_mask, causal), (
+        q, k, v, bias, key_padding_mask,
+    )
+
+
+def _bwd(causal, res, g):
+    q, k, v, bias, key_padding_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _attention_xla(q_, k_, v_, b_, key_padding_mask, causal),
+        q, k, v, bias if bias is not None else jnp.zeros(
+            (q.shape[1], q.shape[2], k.shape[2]), jnp.float32
+        ),
+    )
+    dq, dk, dv, db = vjp(g)
+    return dq, dk, dv, (db if bias is not None else None), None
+
+
+flash_attention_bias.defvjp(_fwd, _bwd)
+
+
+def flash_available() -> bool:
+    backend = jax.default_backend()
+    return _HAS_PLTPU and backend in ("tpu", "axon")

@@ -75,6 +75,30 @@ def resize_bilinear(x, out_hw, h_axis=-3, w_axis=-2, align_corners=False):
     return xf.astype(dt)
 
 
+def bilinear_matrix_dyn(in_size: int, out_pad: int, out_valid, in_valid=None):
+    """Device-side (out_pad, in_size) interpolation matrix whose *logical*
+    output size ``out_valid`` (and optionally logical input size ``in_valid``)
+    is a traced scalar — the key to native-resolution eval under one compiled
+    shape per bucket (SURVEY.md §7 "ragged eval" hard part).
+
+    Rows i >= out_valid are zero.  Matches torch bilinear
+    ``align_corners=False`` semantics exactly for the valid region.
+    """
+    out_valid = jnp.asarray(out_valid, jnp.float32)
+    in_v = in_size if in_valid is None else jnp.asarray(in_valid, jnp.float32)
+    i = jnp.arange(out_pad, dtype=jnp.float32)
+    src = jnp.maximum((i + 0.5) * (in_v / out_valid) - 0.5, 0.0)
+    lo = jnp.clip(jnp.floor(src), 0, in_v - 1)
+    hi = jnp.clip(lo + 1, 0, in_v - 1)
+    w_hi = jnp.clip(src - lo, 0.0, 1.0)
+    w_lo = 1.0 - w_hi
+    j = jnp.arange(in_size, dtype=jnp.float32)
+    mat = w_lo[:, None] * (j[None, :] == lo[:, None]) + w_hi[:, None] * (
+        j[None, :] == hi[:, None]
+    )
+    return jnp.where(i[:, None] < out_valid, mat, 0.0)
+
+
 def resize_nearest(x, out_hw, h_axis=-3, w_axis=-2):
     """Nearest-resize two axes of ``x`` with torch legacy-nearest semantics."""
     h_axis = h_axis % x.ndim

@@ -1,0 +1,68 @@
+"""Device mesh construction (single-controller JAX).
+
+Replaces the reference's process-per-device NCCL/Gloo/XLA shim
+(custom_fairseq/fairseq/distributed/utils.py:243-389) with the TPU-native
+model: one controller per host, ``jax.distributed.initialize`` over DCN, and a
+``jax.sharding.Mesh`` over ICI with named axes:
+
+  data  — pure data parallelism (grad psum)
+  fsdp  — data parallelism + parameter/optimizer sharding (ZeRO-3 analog of
+          distributed/fully_sharded_data_parallel.py)
+  model — tensor parallelism (analog of model_parallel/ Megatron TP)
+
+Collectives are never written by hand here: shardings on the jitted train step
+let XLA place all_gather/psum/reduce_scatter on ICI (SURVEY §5 "distributed
+communication backend").
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+@dataclass
+class MeshConfig:
+    data_parallel: int = -1  # -1 = all remaining devices
+    fsdp: int = 1
+    tensor_parallel: int = 1
+
+
+def build_mesh(
+    cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    tp = max(cfg.tensor_parallel, 1)
+    fs = max(cfg.fsdp, 1)
+    dp = cfg.data_parallel
+    if dp == -1:
+        assert n % (tp * fs) == 0, f"{n} devices not divisible by fsdp*tp={fs * tp}"
+        dp = n // (tp * fs)
+    used = dp * fs * tp
+    assert used <= n, (
+        f"mesh {dp}x{fs}x{tp} needs {used} devices but only {n} available"
+    )
+    arr = np.asarray(devices[:used]).reshape(dp, fs, tp)
+    return Mesh(arr, ("data", "fsdp", "model"))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=1, process_id=0):
+    """Multi-host init (reference distributed_init, utils.py:243-332). No-op
+    for a single process."""
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
+    """Rows this process contributes: the data axes sharded over local devices."""
+    dp_total = mesh.shape["data"] * mesh.shape["fsdp"]
+    assert global_batch % dp_total == 0
+    return global_batch // jax.process_count()

@@ -1,0 +1,96 @@
+"""Parameter / batch sharding rules (GSPMD via NamedSharding).
+
+Covers the reference's parallelism inventory (SURVEY §2.4) the TPU-native way:
+
+  DP   — batch sharded over ('data', 'fsdp'); params replicated on 'data';
+         XLA inserts the gradient psum (replaces DDP/TPUDistributedDataParallel)
+  FSDP — params/optimizer additionally sharded over 'fsdp' on their largest
+         axis; XLA turns the implied movement into all_gather (fwd/bwd) and
+         reduce_scatter (grads) — the ZeRO-3 pattern of
+         distributed/fully_sharded_data_parallel.py without a wrapper class
+  TP   — Megatron column/row splits over 'model' for attention and FFN
+         (analog of model_parallel/modules/multihead_attention.py):
+         q/k/v and fc1 kernels column-split on the output dim, out_proj and
+         fc2 row-split on the input dim, embeddings split on the feature dim
+
+Rules are (substring-pattern, PartitionSpec) pairs matched against the
+flattened parameter path; first match wins.  Everything unmatched replicates
+(LayerNorms, biases, scalars), then the fsdp axis is layered on the largest
+still-unsharded dimension if it divides evenly.
+"""
+
+import re
+from typing import Any, List, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (regex on 'a/b/c' joined path, spec) — specs sized to param ndim at apply time
+TP_RULES: List[Tuple[str, P]] = [
+    # attention: column-parallel qkv (kernel (in, out) in flax), row-parallel out
+    (r"self_attn/(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r"encoder_attn/(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r"self_attn/(q_proj|k_proj|v_proj)/bias$", P("model")),
+    (r"encoder_attn/(q_proj|k_proj|v_proj)/bias$", P("model")),
+    (r"self_attn/out_proj/kernel$", P("model", None)),
+    (r"encoder_attn/out_proj/kernel$", P("model", None)),
+    # FFN: column fc1, row fc2
+    (r"ffn/fc1/kernel$", P(None, "model")),
+    (r"ffn/fc1/bias$", P("model")),
+    (r"ffn/fc2/kernel$", P("model", None)),
+    # big embeddings: shard the vocab/row axis
+    (r"embed_tokens/embedding$", P("model", None)),
+    (r"image_proj/kernel$", P(None, "model")),
+]
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def _spec_for(path_str: str, shape, mesh: Mesh, use_tp: bool, use_fsdp: bool) -> P:
+    spec = [None] * len(shape)
+    if use_tp and mesh.shape["model"] > 1:
+        for pat, rule in TP_RULES:
+            if re.search(pat, path_str):
+                for i, ax in enumerate(rule):
+                    if i < len(spec) and ax is not None and shape[i] % mesh.shape["model"] == 0:
+                        spec[i] = ax
+                break
+    if use_fsdp and mesh.shape["fsdp"] > 1:
+        # shard the largest unsharded axis that divides evenly
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if spec[i] is None and shape[i] % mesh.shape["fsdp"] == 0 and shape[i] >= mesh.shape["fsdp"] * 8:
+                spec[i] = "fsdp"
+                break
+    return P(*spec)
+
+
+def param_shardings(params: Any, mesh: Mesh, use_tp=True, use_fsdp=True):
+    """Pytree of NamedShardings matching ``params``."""
+
+    def shard_one(path, leaf):
+        ps = _path_str(path)
+        shape = np.shape(leaf)
+        if len(shape) == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _spec_for(ps, shape, mesh, use_tp, use_fsdp))
+
+    return jax.tree_util.tree_map_with_path(shard_one, params)
+
+
+def batch_sharding(mesh: Mesh):
+    """Leading (batch) axis over both data axes."""
+    def shard_one(leaf):
+        nd = np.ndim(leaf)
+        if nd == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(("data", "fsdp"), *([None] * (nd - 1))))
+
+    return shard_one
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,190 @@
+"""Optimizer stack: fairseq-exact Adam, cosine LR, freezing, grad clipping.
+
+- ``fairseq_adam``: bit-matches custom_fairseq/fairseq/optim/adam.py:207-234 in
+  fp32: m = b1*m + (1-b1)*g;  v = b2*v + (1-b2)*g^2;
+  p -= wd*lr*p;  p -= lr*sqrt(1-b2^t)/(1-b1^t) * m/(sqrt(v)+eps).
+  (Note: eps sits inside the bias-corrected denominator, unlike optax.adamw.)
+- ``cosine_schedule``: optim/lr_scheduler/cosine_lr_scheduler.py:120-150 with
+  period = total_num_updates (reinit :153-166), warmup_updates =
+  int(total * warmup_ratio), warmup_init_lr = min_lr = 0, single period.
+- ``freeze_mask``: parameter freezing policy from the run scripts
+  (freeze-encoder/decoder/seg-embedding, freeze-entire-resnet;
+  unify_transformer.py:362-373, encoder_module.py:264-295).  Frozen params get
+  zero updates (and no optimizer state growth in the masked transform).
+- ``clip_by_global_norm``: trainer.py:865-903 semantics — scale grads by
+  clip_norm/max(norm, clip_norm); returns the pre-clip norm for logging.
+
+The reference trains fp16 with dynamic loss scaling; on TPU we keep params and
+optimizer state fp32 and compute in bf16 — bf16's fp32-range exponent removes
+the overflow problem loss scaling solves, so no scaler is needed (SURVEY §7).
+"""
+
+import math
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cosine_schedule(
+    lr: float,
+    total_num_updates: int,
+    warmup_ratio: float = 0.0,
+    warmup_updates: int = 0,
+    min_lr: float = 0.0,
+    warmup_init_lr: Optional[float] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if warmup_ratio > 0:
+        warmup_updates = int(total_num_updates * warmup_ratio)
+    if warmup_init_lr is None:
+        warmup_init_lr = min_lr
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        wu = max(warmup_updates, 1)
+        warm = warmup_init_lr + step * ((lr - warmup_init_lr) / wu)
+        t_curr = step - warmup_updates
+        t_i = max(total_num_updates - 0, 1)  # single period = total updates
+        cos = min_lr + 0.5 * (lr - min_lr) * (
+            1.0 + jnp.cos(jnp.pi * jnp.minimum(t_curr / t_i, 1.0))
+        )
+        return jnp.where(step < warmup_updates, warm, cos)
+
+    return schedule
+
+
+class FairseqAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def fairseq_adam(
+    learning_rate: Callable,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Returns updates = -(wd*lr*p + lr*bc*m/(sqrt(v)+eps)); apply with
+    plain additive apply_updates."""
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+        return FairseqAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params),
+        )
+
+    def update(grads, state, params):
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        lr = learning_rate(state.count)
+        bc = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+
+        tm = jax.tree_util.tree_map
+        mu = tm(lambda g, m: b1 * m + (1.0 - b1) * g.astype(jnp.float32), grads, state.mu)
+        nu = tm(
+            lambda g, v: b2 * v + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            grads,
+            state.nu,
+        )
+
+        def step(m, v, p):
+            s = lr * bc * m / (jnp.sqrt(v) + eps)
+            if weight_decay != 0.0:
+                s = s + weight_decay * lr * p.astype(jnp.float32)
+            return (-s).astype(p.dtype)
+
+        updates = tm(step, mu, nu, params)
+        return updates, FairseqAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def clip_by_global_norm(grads, clip_norm: float):
+    """Pre-clip global norm + clipped grads (fairseq clip_grad_norm_)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    gnorm = jnp.sqrt(
+        sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
+    )
+    if clip_norm <= 0:
+        return grads, gnorm
+    scale = clip_norm / jnp.maximum(gnorm, clip_norm)
+    return jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), grads), gnorm
+
+
+# ------------------------------------------------------------------- freezing
+
+
+def freeze_mask(params, model_cfg) -> Any:
+    """True = trainable, following the reference freeze flags.
+
+    - freeze_encoder_embedding / freeze_decoder_embedding: shared
+      ``embed_tokens`` (unify_transformer.py:362-369)
+    - freeze_seg_embedding: decoder ``seg_embed_tokens`` (+ untied
+      ``seg_projection``) (unify_transformer.py:370-373)
+    - freeze_entire_resnet: all ``embed_images`` params + encoder image_proj
+      stays trainable (encoder_module.py:283-295 freezes resnet only)
+    - FrozenBN statistics are always frozen (frozen_bn.py)
+    """
+    def trainable(path) -> bool:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(str(k) for k in keys)
+        if "embed_tokens" in joined and (
+            model_cfg.freeze_encoder_embedding or model_cfg.freeze_decoder_embedding
+        ):
+            return False
+        if model_cfg.freeze_seg_embedding and (
+            "seg_embed_tokens" in joined or joined.endswith("seg_projection")
+        ):
+            return False
+        if model_cfg.freeze_entire_resnet and "embed_images" in joined:
+            return False
+        if model_cfg.freeze_resnet and "embed_images" in joined:
+            return False
+        # FrozenBN buffers (running stats) never train even when resnet does
+        if "running_mean" in joined or "running_var" in joined:
+            return False
+        if model_cfg.freeze_encoder_transformer and "encoder/layers_" in joined:
+            return False
+        if model_cfg.freeze_encoder_transformer_layers > 0:
+            for i in range(model_cfg.freeze_encoder_transformer_layers):
+                if f"encoder/layers_{i}/" in joined + "/":
+                    return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: trainable(p), params)
+
+
+def masked(tx: optax.GradientTransformation, mask) -> optax.GradientTransformation:
+    return optax.masked(tx, mask)
+
+
+def build_optimizer(params, model_cfg, opt_cfg, total_num_updates: int):
+    """Full training transform: freeze mask -> fairseq adam(+wd) -> done.
+    Clipping happens outside (needs the raw grad norm for logging)."""
+    schedule = cosine_schedule(
+        lr=opt_cfg.lr,
+        total_num_updates=total_num_updates,
+        warmup_ratio=opt_cfg.warmup_ratio,
+        warmup_updates=opt_cfg.warmup_updates,
+    )
+    mask = freeze_mask(params, model_cfg)
+    labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
+    tx = optax.multi_transform(
+        {
+            "train": fairseq_adam(
+                schedule,
+                b1=opt_cfg.adam_betas[0],
+                b2=opt_cfg.adam_betas[1],
+                eps=opt_cfg.adam_eps,
+                weight_decay=opt_cfg.weight_decay,
+            ),
+            "freeze": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return tx, schedule, mask

@@ -12,6 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# The image's sitecustomize imports jax and registers the axon TPU plugin
+# before this file runs, so the env var alone is ignored — force via config.
+jax.config.update("jax_platforms", "cpu")
+
 # Per-op eager compiles are ~0.5s in this environment; the persistent cache
 # makes repeated test runs fast.  Tests should still jit whole functions.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")

@@ -1,0 +1,137 @@
+"""Padded native-resolution eval must match the exact-shape forward.
+
+The evaluator (ifseg_tpu/eval) runs images zero-padded into shape buckets with
+the valid extent threaded through as traced scalars.  These tests verify the
+core claim: valid-region outputs of the padded forward equal the unpadded
+forward (which itself was parity-tested against the reference math), for both
+the position-gather branch (small grids) and the interpolation branch (grids
+larger than the orig 32x32-analog grid).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ifseg_tpu.config import model_config_for_arch
+from ifseg_tpu.models.segofa import SegOFA, SegOFAVariables
+
+
+def tiny_model(num_seg=5, image_size=64):
+    cfg = model_config_for_arch(
+        "segofa_tiny",
+        encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        resnet_type="resnet50",
+        patch_image_size=image_size,
+        orig_patch_image_size=image_size,
+        num_seg_tokens=num_seg,
+        dropout=0.0,
+        encoder_drop_path_rate=0.0,
+        decoder_drop_path_rate=0.0,
+        dtype="float32",  # parity check: avoid bf16 rounding differences
+    )
+    model, params = SegOFAVariables.init(cfg, jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return tiny_model()
+
+
+def _run_exact(model, params, src, img, bos):
+    def f(p, s, im, bo):
+        logits, extra = model.apply(
+            {"params": p}, src_tokens=s, patch_images=im, bos_tokens=bo,
+            deterministic=True,
+        )
+        return logits
+
+    return jax.jit(f)(params, src, img, bos)
+
+
+def _run_padded(model, params, src, img_padded, h, w, bos):
+    def f(p, s, im, bo, hh, ww):
+        logits, enc = model.apply(
+            {"params": p}, s, im, hh, ww, bo, False, method=SegOFA.eval_forward
+        )
+        return logits
+
+    return jax.jit(f)(params, src, img_padded, bos, jnp.int32(h), jnp.int32(w))
+
+
+@pytest.mark.parametrize(
+    "hw,pad_hw",
+    [
+        ((48, 64), (96, 96)),   # 3x4=12 <= 16 grid cells -> gather branch
+        ((80, 80), (96, 128)),  # 5x5=25 > 16 -> interpolation branch
+    ],
+)
+def test_padded_matches_exact(setup, hw, pad_hw):
+    cfg, model, params = setup
+    h, w = hw
+    Hb, Wb = pad_hw
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+    padded = np.zeros((1, Hb, Wb, 3), np.float32)
+    padded[:, :h, :w] = img
+    src = rng.integers(4, 100, size=(1, 10)).astype(np.int32)
+    bos = np.zeros((1, 1), np.int32)
+
+    exact = np.asarray(_run_exact(model, params, src, img, bos))
+    padded_out = np.asarray(_run_padded(model, params, src, padded, h, w, bos))
+
+    hp, wp = -(-h // 16), -(-w // 16)
+    Hp, Wp = Hb // 16, Wb // 16
+    # map valid padded grid positions back to the compact grid
+    exact_grid = exact[0, 1 : 1 + hp * wp].reshape(hp, wp, -1)
+    padded_grid = padded_out[0, 1 : 1 + Hp * Wp].reshape(Hp, Wp, -1)
+    np.testing.assert_allclose(
+        padded_grid[:hp, :wp], exact_grid, rtol=2e-4, atol=2e-4
+    )
+    # BOS slot too
+    np.testing.assert_allclose(padded_out[0, 0], exact[0, 0], rtol=2e-4, atol=2e-4)
+
+
+def test_evaluator_smoke(setup, monkeypatch):
+    """Evaluator end-to-end on a tiny sample: areas are consistent."""
+    import ifseg_tpu.eval.evaluator as ev
+
+    monkeypatch.setattr(ev, "BUCKET", 64)
+    monkeypatch.setattr(ev, "ROW_CHUNK", 32)
+
+    cfg, model, params = setup
+    from ifseg_tpu.config import Config
+
+    full_cfg = Config()
+    full_cfg = full_cfg.replace(model=cfg)
+    full_cfg.criterion.resnet_iters = 2
+    full_cfg.criterion.resnet_topk = 2
+
+    rng = np.random.default_rng(1)
+    from ifseg_tpu.data.segmentation_dataset import EvalSample
+
+    sample = EvalSample(
+        patch_image=rng.normal(size=(48, 80, 3)).astype(np.float32),
+        src_tokens=rng.integers(4, 100, size=(10,)).astype(np.int32),
+        bos_token=np.zeros((1,), np.int32),
+        ori_semantic_seg=rng.integers(0, 5, size=(100, 160)).astype(np.int32),
+        ori_shape=(100, 160, 3),
+    )
+    evaluator = ev.Evaluator(full_cfg, model)
+    out = evaluator.eval_sample(params, sample)
+    ai, au = out["area_intersect"], out["area_union"]
+    assert ai.shape == (5,)
+    assert np.isfinite(out["nll_loss"])
+    assert (ai <= au + 1e-6).all()
+    # total label area equals the number of (non-unknown) original pixels
+    assert np.isclose(out["area_label"].sum(), 100 * 160)
+    assert "area_intersect_resnet_postprocess" in out

@@ -1,0 +1,63 @@
+"""Fused Pallas attention vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ifseg_tpu.ops.flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def force_interpret():
+    old = fa.INTERPRET
+    fa.INTERPRET = True
+    yield
+    fa.INTERPRET = old
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape), jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("lq,lk", [(64, 64), (80, 100)])
+def test_matches_xla(causal, lq, lk):
+    b, h, d = 2, 2, 16
+    q = _rand((b, h, lq, d), 0)
+    k = _rand((b, h, lk, d), 1)
+    v = _rand((b, h, lk, d), 2)
+    bias = _rand((h, lq, lk), 3)
+    mask = np.zeros((b, lk), bool)
+    mask[0, lk - 7 :] = True
+    mask = jnp.asarray(mask)
+
+    got = fa.flash_attention_bias(q, k, v, bias, mask, causal)
+    want = fa._attention_xla(q, k, v, bias, mask, causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_no_bias_no_mask():
+    b, h, l, d = 1, 2, 96, 16
+    q, k, v = _rand((b, h, l, d), 0), _rand((b, h, l, d), 1), _rand((b, h, l, d), 2)
+    got = fa.flash_attention_bias(q, k, v, None, None, False)
+    want = fa._attention_xla(q, k, v, None, None, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_gradients_flow():
+    b, h, l, d = 1, 2, 64, 16
+    q, k, v = _rand((b, h, l, d), 0), _rand((b, h, l, d), 1), _rand((b, h, l, d), 2)
+    bias = _rand((h, l, l), 3)
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(fa.flash_attention_bias(q, k, v, bias, None, False) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(fa._attention_xla(q, k, v, bias, None, False) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)

@@ -1,0 +1,34 @@
+"""Test fixtures (analog of custom_fairseq/tests/utils.py): synthetic TSV
+segmentation datasets and tiny configs."""
+
+import base64
+import io
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def png_b64(arr: np.ndarray) -> str:
+    img = Image.fromarray(arr)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.urlsafe_b64encode(buf.getvalue()).decode()
+
+
+def make_seg_tsv(path: str, rows: int = 4, num_seg: int = 3, size=(96, 80), seed=0):
+    """TSV rows: base64 RGB PNG, base64 label PNG (pre-shift: 0=ignore,
+    v=class v-1), uniq id — the reference's conversion-notebook format."""
+    rng = np.random.default_rng(seed)
+    h, w = size
+    with open(path, "w") as fp:
+        for i in range(rows):
+            img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            # blocky labels so cat_max_ratio crops behave
+            seg = np.zeros((h, w), np.uint8)
+            for _ in range(6):
+                y, x = rng.integers(0, h), rng.integers(0, w)
+                dy, dx = rng.integers(8, h // 2), rng.integers(8, w // 2)
+                seg[y : y + dy, x : x + dx] = rng.integers(0, num_seg + 1)
+            fp.write(f"{png_b64(img)}\t{png_b64(seg)}\t{i}\n")
+    return path
