@@ -1,0 +1,166 @@
+"""Static-shape beam-search sequence generator.
+
+Capability parity with models/sequence_generator.py (1051 LoC torch): beam
+search with min/max length, length-penalty-normalized finalization, 2x-beam
+candidate expansion so EOS never starves the beam, no-repeat-ngram blocking,
+temperature, and unk penalty — restructured as a single ``lax.scan`` over a
+``step_fn`` so the whole decode compiles once (the reference's Python loop
+re-dispatches per step).
+
+``step_fn(prev_tokens (N, Lmax), step_idx, cache) -> (logits (N, V), cache)``
+where N = bsz * beam.  The model owns its KV cache inside ``cache``; the
+generator is model-agnostic (tested with a scripted-probability fixture, the
+reference's test strategy: tests/utils.py sequence_generator_setup).
+
+The seg variant's pinned max_len==min_len (sequence_generator.py:227-229)
+falls out of min_len/max_len settings.
+"""
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ifseg_tpu.generate.search import BeamSearch
+from ifseg_tpu.ops.ngram_block import ngram_repeat_mask
+
+NEG_INF = -1e9
+
+
+class GeneratorOutput(NamedTuple):
+    tokens: jnp.ndarray  # (bsz, beam, Lmax) best-first, eos-terminated
+    scores: jnp.ndarray  # (bsz, beam) length-normalized
+
+
+class SequenceGenerator:
+    def __init__(
+        self,
+        step_fn: Callable,
+        vocab_size: int,
+        beam_size: int = 5,
+        max_len: int = 200,
+        min_len: int = 1,
+        bos: int = 0,
+        pad: int = 1,
+        eos: int = 2,
+        unk: int = 3,
+        normalize_scores: bool = True,
+        len_penalty: float = 1.0,
+        unk_penalty: float = 0.0,
+        temperature: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        search=None,
+    ):
+        self.step_fn = step_fn
+        self.vocab_size = vocab_size
+        self.beam = beam_size
+        self.max_len = max_len
+        self.min_len = min_len
+        self.bos, self.pad, self.eos, self.unk = bos, pad, eos, unk
+        self.normalize_scores = normalize_scores
+        self.len_penalty = len_penalty
+        self.unk_penalty = unk_penalty
+        self.temperature = temperature
+        self.no_repeat_ngram_size = no_repeat_ngram_size
+        self.search = search or BeamSearch()
+
+    def __call__(self, bsz: int, cache: Any, rng=None) -> GeneratorOutput:
+        beam, v = self.beam, self.vocab_size
+        lmax = self.max_len + 2  # bos + tokens + eos
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        tokens0 = jnp.full((bsz, beam, lmax), self.pad, jnp.int32)
+        tokens0 = tokens0.at[:, :, 0].set(self.bos)
+        alive_lp0 = jnp.zeros((bsz, beam), jnp.float32)
+        fin_seq0 = jnp.full((bsz, beam, lmax), self.pad, jnp.int32)
+        fin_scores0 = jnp.full((bsz, beam), -jnp.inf, jnp.float32)
+
+        def body(carry, xs):
+            step, rng_step = xs
+            tokens, alive_lp, fin_seq, fin_scores, cache = carry
+
+            flat_tokens = tokens.reshape(bsz * beam, lmax)
+            logits, new_cache = self.step_fn(flat_tokens, step, cache)
+            lprobs = jax.nn.log_softmax(
+                logits.astype(jnp.float32) / self.temperature, axis=-1
+            )
+            lprobs = lprobs.at[:, self.pad].set(-jnp.inf)
+            if self.unk_penalty != 0.0:
+                lprobs = lprobs.at[:, self.unk].add(-self.unk_penalty)
+            if self.no_repeat_ngram_size > 0:
+                banned = ngram_repeat_mask(
+                    flat_tokens, step, self.no_repeat_ngram_size, v
+                )
+                lprobs = jnp.where(banned, -jnp.inf, lprobs)
+            lprobs = lprobs.reshape(bsz, beam, v)
+            # min/max length via EOS gating (LengthConstrained semantics)
+            # fairseq step semantics: at scan step s the token at position
+            # s+1 is chosen; EOS at step s ends a hypothesis with s tokens
+            eos_col = (jnp.arange(v) == self.eos)[None, None, :]
+            lprobs = jnp.where((step < self.min_len) & eos_col, -jnp.inf, lprobs)
+            lprobs = jnp.where(
+                (step >= self.max_len) & (~eos_col), NEG_INF, lprobs
+            )
+
+            cand_scores, cand_indices, cand_beams = self.search.step(
+                step, lprobs, alive_lp, rng_step
+            )  # each (bsz, 2*beam)
+
+            is_eos = cand_indices == self.eos
+            length = jnp.asarray(step + 1, jnp.float32)  # tokens incl. eos slot
+            norm = length**self.len_penalty if self.normalize_scores else 1.0
+            eos_norm_scores = jnp.where(
+                is_eos, cand_scores / norm, -jnp.inf
+            )  # (bsz, 2B)
+
+            # ---- finalize: merge EOS candidates into the finished pool
+            gather_b = lambda arr, ib: jnp.take_along_axis(arr, ib, axis=1)
+            cand_seq = gather_b(
+                tokens.reshape(bsz, beam, lmax),
+                cand_beams[:, :, None].clip(0, beam - 1),
+            )
+            cand_seq = cand_seq.at[:, :, step + 1].set(
+                jnp.where(is_eos, self.eos, cand_indices)
+            )
+            all_fin_scores = jnp.concatenate([fin_scores, eos_norm_scores], axis=1)
+            all_fin_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)
+            top_fin, top_fin_idx = jax.lax.top_k(all_fin_scores, beam)
+            new_fin_seq = jnp.take_along_axis(
+                all_fin_seq, top_fin_idx[:, :, None], axis=1
+            )
+
+            # ---- continue: best non-EOS candidates
+            alive_cand = jnp.where(is_eos, -jnp.inf, cand_scores)
+            new_alive_lp, alive_idx = jax.lax.top_k(alive_cand, beam)
+            new_tokens = jnp.take_along_axis(
+                cand_seq, alive_idx[:, :, None], axis=1
+            )
+            # re-order the cache by selected beams
+            sel_beams = jnp.take_along_axis(cand_beams, alive_idx, axis=1)  # (bsz,B)
+            flat_sel = (
+                jnp.arange(bsz)[:, None] * beam + sel_beams
+            ).reshape(-1)
+            new_cache = jax.tree_util.tree_map(
+                lambda c: jnp.take(c, flat_sel, axis=0)
+                if hasattr(c, "shape") and c.ndim >= 1 and c.shape[0] == bsz * beam
+                else c,
+                new_cache,
+            )
+            return (new_tokens, new_alive_lp, new_fin_seq, top_fin, new_cache), None
+
+        steps = jnp.arange(self.max_len + 1)
+        rngs = jax.random.split(rng, self.max_len + 1)
+        carry, _ = jax.lax.scan(
+            body, (tokens0, alive_lp0, fin_seq0, fin_scores0, cache), (steps, rngs)
+        )
+        tokens, alive_lp, fin_seq, fin_scores, _ = carry
+
+        # any never-finished beams: treat alive as finished at max length
+        length = jnp.asarray(self.max_len + 1, jnp.float32)
+        norm = length**self.len_penalty if self.normalize_scores else 1.0
+        alive_norm = alive_lp / norm
+        all_scores = jnp.concatenate([fin_scores, alive_norm], axis=1)
+        all_seq = jnp.concatenate([fin_seq, tokens], axis=1)
+        top, idx = jax.lax.top_k(all_scores, self.beam)
+        seq = jnp.take_along_axis(all_seq, idx[:, :, None], axis=1)
+        return GeneratorOutput(tokens=seq, scores=top)
