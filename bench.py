@@ -23,7 +23,7 @@ def main():
     cfg = model_config_for_arch("segofa_base")
     model, params = SegOFAVariables.init(cfg, jax.random.PRNGKey(0))
 
-    batch = 8
+    batch = 32  # best measured throughput point (bias costs amortize with batch)
     s = cfg.patch_image_size
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(4, 100, size=(batch, 32)), jnp.int32)

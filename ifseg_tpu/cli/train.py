@@ -140,7 +140,12 @@ def train_epoch(cfg, task, trainer, epoch: int) -> None:
         seed=cfg.optimization.seed,
         epoch=epoch,
     )
+    from ifseg_tpu.utils.profiling import StepTimer, span
+    from ifseg_tpu.utils.reliability import Heartbeat
+
     logs_buffer = []
+    timer = StepTimer()
+    heartbeat = Heartbeat(timeout=float(os.environ.get("IFSEG_HEARTBEAT", "600"))).start()
     with metrics_lib.aggregate(f"train_epoch") as agg:
         progress = progress_bar(
             itr.next_epoch_itr(),
@@ -148,9 +153,13 @@ def train_epoch(cfg, task, trainer, epoch: int) -> None:
             epoch=epoch,
             log_interval=cfg.common.log_interval,
             tag="train",
+            tensorboard_logdir=cfg.common.tensorboard_logdir,
+            wandb_project=cfg.common.wandb_project,
         )
         for i, batch in enumerate(progress):
-            logs = trainer.train_step(batch)
+            with timer, span(f"train_step-{i}"):
+                logs = trainer.train_step(batch)
+            heartbeat.beat()
             logs_buffer.append(jax.device_get(logs))
             if (i + 1) % cfg.common.log_interval == 0:
                 task.reduce_metrics(logs_buffer)
@@ -159,6 +168,7 @@ def train_epoch(cfg, task, trainer, epoch: int) -> None:
         if logs_buffer:
             task.reduce_metrics(logs_buffer)
         progress.print(agg.get_smoothed_values(), tag="train", step=trainer.get_num_updates())
+    heartbeat.stop()
     metrics_lib.reset_meters("train_epoch")
 
 

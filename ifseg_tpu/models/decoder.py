@@ -24,6 +24,7 @@ from .encoder import _flash_enabled, cfg_dtype
 from .layers import DecoderLayer
 from .position import (
     gather_rel_bias,
+    gather_rel_bias_all_layers,
     image_num_rel_dis,
     interp_seg_bias_with_bos,
     interp_seg_bias_with_bos_mats,
@@ -213,8 +214,9 @@ class Decoder(nn.Module):
             )
 
         enc_pad = encoder_out["encoder_padding_mask"]
+        seg_all = gather_rel_bias_all_layers(self.seg_rel_pos_table, seg_bucket)
         for i, layer in enumerate(self.layers):
-            seg_b = gather_rel_bias(self.seg_rel_pos_table[i], seg_bucket)
+            seg_b = seg_all[i]
             if valid_hw is None:
                 seg_b = interp_seg_bias_with_bos(seg_b, (sb, sb), (h, w))
             else:
@@ -232,6 +234,70 @@ class Decoder(nn.Module):
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         if features_only:
             return x
+        return self.output_layer(x)
+
+    def decode_ar(
+        self,
+        prev_tokens,  # (B, L) generated ids
+        encoder_out: Dict[str, Any],
+        embed_mode: str = "seg",  # 'seg': ids are class ids -> seg_embed rows
+        deterministic: bool = True,
+    ):
+        """Classic autoregressive decode (decoder_module.py:680-862), full
+        causal recompute (no KV cache; the surrogate pass is the seg hot path
+        — the reference's AR path cannot even embed <seg_k>, k>0: the token
+        embedding excludes seg rows, unify_transformer.py:400-411 — so this
+        exists for generator/capability parity, not the seg metric path).
+
+        ``embed_mode='seg'`` embeds generated class ids via seg_embed_tokens
+        (self-consistent with the tied seg head); ``'vocab'`` uses the token
+        embedding (OFA text generation).
+        Returns (B, L, num_seg) logits.
+        """
+        cfg = self.cfg
+        b, l = prev_tokens.shape
+        if embed_mode == "seg":
+            bos_emb = self.embed_tokens(prev_tokens[:, :1])
+            rest = jnp.take(
+                self.seg_embed_tokens,
+                jnp.clip(prev_tokens[:, 1:], 0, cfg.num_seg_tokens - 1),
+                axis=0,
+            )
+            x = jnp.concatenate([bos_emb, rest], axis=1).astype(cfg_dtype(cfg))
+        else:
+            x = self.embed_tokens(prev_tokens).astype(cfg_dtype(cfg))
+        if cfg.layernorm_embedding:
+            x = self.layernorm_embedding(x).astype(cfg_dtype(cfg))
+        if cfg.dropout > 0:
+            x = self.dropout_layer(x, deterministic=deterministic)
+
+        # text positions + token relative bias (ref :816-819)
+        tgt_pos = self.pos_ln(self.embed_positions(jnp.arange(l)))
+        self_bias0 = self._bias(
+            tgt_pos, tgt_pos, self.self_pos_q_linear, self.self_pos_k_linear
+        )
+        src_pos = encoder_out["position_embeddings"]
+        cross_bias = self._bias(
+            tgt_pos, src_pos, self.cross_pos_q_linear, self.cross_pos_k_linear
+        )
+        from .position import make_token_bucket_position
+
+        token_bucket = make_token_bucket_position(cfg.token_bucket_size)[:l, :l]
+        tok_all = gather_rel_bias_all_layers(self.token_rel_pos_table, token_bucket)
+
+        enc = encoder_out["encoder_out"]
+        enc_pad = encoder_out["encoder_padding_mask"]
+        for i, layer in enumerate(self.layers):
+            x = layer(
+                x,
+                encoder_out=enc,
+                encoder_padding_mask=enc_pad,
+                self_attn_bias=self_bias0 + tok_all[i],
+                cross_attn_bias=cross_bias,
+                causal=True,
+                deterministic=deterministic,
+            )
+        x = self.layer_norm(x).astype(cfg_dtype(cfg))
         return self.output_layer(x)
 
     def output_layer(self, features):

@@ -28,6 +28,7 @@ from ifseg_tpu.ops.resize import bilinear_matrix_dyn, resize_bilinear
 from .layers import EncoderLayer
 from .position import (
     gather_rel_bias,
+    gather_rel_bias_all_layers,
     image_grid_position_ids,
     image_num_rel_dis,
     image_rel_bucket_direct,
@@ -194,17 +195,21 @@ class Encoder(nn.Module):
         token_bucket = make_token_bucket_position(cfg.token_bucket_size)[
             :src_len, :src_len
         ]
+        tok_all = gather_rel_bias_all_layers(self.token_rel_pos_table, token_bucket)
         if img_bias_fn is None:
             image_bucket = image_rp_bucket_for_grid(
                 *rel_bias_grid_hw, cfg.image_bucket_size
             )
+            # one fused gather for every layer (gather_rel_bias_all_layers)
+            img_all = gather_rel_bias_all_layers(
+                self.image_rel_pos_table, image_bucket
+            )
 
             def img_bias_fn(i):
-                b = gather_rel_bias(self.image_rel_pos_table[i], image_bucket)
-                return interp_grid_bias(b, rel_bias_grid_hw, image_hw)
+                return interp_grid_bias(img_all[i], rel_bias_grid_hw, image_hw)
 
         for i, layer in enumerate(self.layers):
-            tok_b = gather_rel_bias(self.token_rel_pos_table[i], token_bucket)
+            tok_b = tok_all[i]
             img_b = img_bias_fn(i)
             bias = bias0
             bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)

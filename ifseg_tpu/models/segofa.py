@@ -107,6 +107,55 @@ class SegOFA(nn.Module):
         return logits, enc
 
 
+def build_generator(
+    model: SegOFA,
+    params,
+    encoder_out,
+    beam: int = 5,
+    max_len: int = 1024,
+    min_len: int = 1024,
+    no_repeat_ngram_size: int = 0,
+):
+    """Build a beam-search generator over the AR decode path (parity with
+    OFATask.build_generator, tasks/ofa_task.py:187-313; the seg eval_args pin
+    max_len == min_len, run_scripts --eval-args).  The step function recomputes
+    the causal prefix (see Decoder.decode_ar)."""
+    from ifseg_tpu.generate.sequence_generator import SequenceGenerator
+
+    # tile batched encoder outputs across the beam (the generator's step sees
+    # bsz*beam rows; EnsembleModel.reorder_encoder_out analog)
+    bsz = encoder_out["encoder_out"].shape[0]
+
+    def tile(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == bsz:
+            return jnp.repeat(x, beam, axis=0)
+        return x
+
+    enc_tiled = {
+        k: tile(v) if not isinstance(v, tuple) else v
+        for k, v in encoder_out.items()
+    }
+
+    def step_fn(tokens, step, cache):
+        logits = model.apply(
+            {"params": params},
+            tokens,
+            enc_tiled,
+            method=lambda m, t, e: m.decoder.decode_ar(t, e),
+        )
+        idx = jnp.minimum(step, tokens.shape[1] - 1)
+        return logits[:, idx], cache
+
+    return SequenceGenerator(
+        step_fn,
+        vocab_size=model.cfg.num_seg_tokens,
+        beam_size=beam,
+        max_len=max_len,
+        min_len=min_len,
+        no_repeat_ngram_size=no_repeat_ngram_size,
+    )
+
+
 class SegOFAVariables:
     """Helper to init / describe SegOFA parameter pytrees."""
 
@@ -124,6 +173,17 @@ class SegOFAVariables:
             class_tokens=jnp.zeros((cfg.num_seg_tokens + 1, 4), jnp.int32),
             class_lengths=jnp.ones((cfg.num_seg_tokens + 1,), jnp.int32),
         )
-        init_fn = jax.jit(lambda rng, kw: model.init({"params": rng}, **kw))
+
+        def init_all(m: SegOFA, kw):
+            # exercise surrogate + AR paths so lazily-created submodules
+            # (decoder.embed_positions etc.) materialize their params
+            logits, extra = m(**kw)
+            enc = extra["encoder_returns"]
+            _ = m.decoder.decode_ar(jnp.zeros((1, 2), jnp.int32), enc)
+            return logits
+
+        init_fn = jax.jit(
+            lambda rng, kw: model.init({"params": rng}, kw, method=init_all)
+        )
         variables = init_fn(rng, dummy)
         return model, variables["params"]

@@ -103,6 +103,11 @@ def balanced_assignment_sinkhorn(scores, n_iters: int = 8, temperature: float = 
         out = out.at[tok].set(expert.astype(jnp.int32))
         return (counts, out), None
 
-    init = (jnp.zeros((e,), jnp.int32), jnp.zeros((n,), jnp.int32))
+    # derive the init from lp so its axis-varying type matches inside
+    # shard_map (zeros literals are replicated; the scan carry must not be)
+    init = (
+        jnp.zeros((e,), jnp.int32) + (0 * lp[0]).astype(jnp.int32),
+        jnp.zeros((n,), jnp.int32) + (0 * lp[:, 0]).astype(jnp.int32),
+    )
     (counts, out), _ = jax.lax.scan(assign_one, init, order)
     return out

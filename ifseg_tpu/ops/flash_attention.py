@@ -35,7 +35,7 @@ NEG_INF = -1e9
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, causal, lq, lk, bq):
-    i = pl.program_id(2)
+    i = pl.program_id(1)
     q = q_ref[0, 0].astype(jnp.float32)  # (bq, D)
     k = k_ref[0, 0].astype(jnp.float32)  # (Lk, D)
     logits = jax.lax.dot_general(
@@ -124,7 +124,11 @@ def _flash_forward(q, k, v, bias, key_padding_mask, causal):
     maskp = jnp.maximum(maskp, tail[None].astype(jnp.int32))
     maskp = maskp[:, None, :]  # (B, 1, Lk): 2D trailing dims for TPU tiling
 
-    grid = (b, h, lq_p // bq)
+    # grid order (h, i, b): batch varies fastest, so the (h, i)-indexed bias
+    # block is unchanged across consecutive programs and Pallas skips its
+    # DMA — without this the fp32 bias is re-fetched per batch element and
+    # dominates the kernel's HBM traffic
+    grid = (h, lq_p // bq, b)
     kernel = functools.partial(
         _attn_kernel, causal=causal, lq=lq, lk=lk, bq=bq
     )
@@ -132,13 +136,13 @@ def _flash_forward(q, k, v, bias, key_padding_mask, causal):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, lk_p, d), lambda b_, h_, i: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, lk_p, d), lambda b_, h_, i: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, bq, lk_p), lambda b_, h_, i: (h_, i, 0)),
-            pl.BlockSpec((1, 1, lk_p), lambda b_, h_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, lk_p, d), lambda h_, i, b_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, lk_p, d), lambda h_, i, b_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, bq, lk_p), lambda h_, i, b_: (h_, i, 0)),
+            pl.BlockSpec((1, 1, lk_p), lambda h_, i, b_: (b_, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0)),
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d), q.dtype),
         interpret=_interpret_mode(),
     )(qp, kp, vp, bias_p, maskp)

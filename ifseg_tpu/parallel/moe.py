@@ -120,5 +120,4 @@ def base_moe_layer(
             data_spec,
         ),
         out_specs=data_spec,
-        check_rep=False,
     )(params["centroids"], params["wi"], params["wo"], x)
