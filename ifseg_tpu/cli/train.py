@@ -184,6 +184,13 @@ def validate(cfg, task, trainer, epoch: int, evaluator) -> dict:
             out = evaluator.eval_sample(trainer.state.params, sample)
             logs.append(out)
             n += 1
+        # each process evaluated its row shard; sum areas across hosts
+        # (reference fast-stat-sync, trainer.py:1368-1407)
+        if logs and jax.process_count() > 1:
+            summed = metrics_lib.cross_process_sum(
+                {k: sum(np.asarray(l[k]) for l in logs) for k in logs[0]}
+            )
+            logs = [summed]
         task.reduce_metrics(logs)
         vals = agg.get_smoothed_values()
         vals["num_images"] = n

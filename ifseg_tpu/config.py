@@ -198,7 +198,8 @@ class CriterionConfig:
 @dataclass
 class OptimizationConfig:
     lr: float = 5e-5
-    lr_scheduler: str = "cosine"
+    optimizer: str = "adam"  # adam | adafactor
+    lr_scheduler: str = "cosine"  # cosine | inverse_sqrt | polynomial_decay | fixed
     warmup_ratio: float = 0.0
     warmup_updates: int = 0
     weight_decay: float = 0.1

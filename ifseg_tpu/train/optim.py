@@ -54,6 +54,87 @@ def cosine_schedule(
     return schedule
 
 
+def inverse_sqrt_schedule(
+    lr: float, warmup_updates: int = 4000, warmup_init_lr: float = 0.0
+):
+    """optim/lr_scheduler/inverse_square_root_schedule.py: linear warmup then
+    lr * sqrt(warmup/step)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32) + 1.0
+        warm = warmup_init_lr + step * ((lr - warmup_init_lr) / max(warmup_updates, 1))
+        decay = lr * jnp.sqrt(warmup_updates / jnp.maximum(step, 1.0))
+        return jnp.where(step < warmup_updates, warm, decay)
+
+    return schedule
+
+
+def polynomial_decay_schedule(
+    lr: float,
+    total_num_updates: int,
+    warmup_updates: int = 0,
+    warmup_ratio: float = 0.0,
+    end_learning_rate: float = 0.0,
+    power: float = 1.0,
+):
+    """optim/lr_scheduler/polynomial_decay_schedule.py (with the reference's
+    warmup_ratio extension :97-102)."""
+    if warmup_ratio > 0:
+        warmup_updates = int(total_num_updates * warmup_ratio)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * jnp.minimum(step / max(warmup_updates, 1), 1.0)
+        frac = jnp.clip(
+            (total_num_updates - step) / max(total_num_updates - warmup_updates, 1),
+            0.0, 1.0,
+        )
+        decay = (lr - end_learning_rate) * frac**power + end_learning_rate
+        return jnp.where(step < warmup_updates, warm, decay)
+
+    return schedule
+
+
+def fixed_schedule(lr: float):
+    return lambda step: jnp.asarray(lr, jnp.float32)
+
+
+SCHEDULERS = {
+    "cosine": "cosine_schedule",
+    "inverse_sqrt": "inverse_sqrt_schedule",
+    "polynomial_decay": "polynomial_decay_schedule",
+    "fixed": "fixed_schedule",
+}
+
+
+def build_schedule(name: str, lr: float, total_num_updates: int, opt_cfg=None):
+    if name == "cosine":
+        return cosine_schedule(
+            lr, total_num_updates,
+            warmup_ratio=getattr(opt_cfg, "warmup_ratio", 0.0),
+            warmup_updates=getattr(opt_cfg, "warmup_updates", 0),
+        )
+    if name == "inverse_sqrt":
+        return inverse_sqrt_schedule(
+            lr, warmup_updates=max(getattr(opt_cfg, "warmup_updates", 0), 1)
+        )
+    if name == "polynomial_decay":
+        return polynomial_decay_schedule(
+            lr, total_num_updates,
+            warmup_updates=getattr(opt_cfg, "warmup_updates", 0),
+            warmup_ratio=getattr(opt_cfg, "warmup_ratio", 0.0),
+        )
+    if name == "fixed":
+        return fixed_schedule(lr)
+    raise ValueError(f"unknown lr scheduler {name}; known: {sorted(SCHEDULERS)}")
+
+
+def adafactor(learning_rate: Callable, weight_decay: float = 0.0):
+    """Factored second-moment optimizer (optim/adafactor.py) via optax."""
+    tx = optax.adafactor(learning_rate=learning_rate, weight_decay_rate=weight_decay or None)
+    return tx
+
+
 class FairseqAdamState(NamedTuple):
     count: jnp.ndarray
     mu: Any
@@ -164,27 +245,28 @@ def masked(tx: optax.GradientTransformation, mask) -> optax.GradientTransformati
 
 
 def build_optimizer(params, model_cfg, opt_cfg, total_num_updates: int):
-    """Full training transform: freeze mask -> fairseq adam(+wd) -> done.
+    """Full training transform: freeze mask -> optimizer(+wd) -> done.
     Clipping happens outside (needs the raw grad norm for logging)."""
-    schedule = cosine_schedule(
-        lr=opt_cfg.lr,
-        total_num_updates=total_num_updates,
-        warmup_ratio=opt_cfg.warmup_ratio,
-        warmup_updates=opt_cfg.warmup_updates,
+    schedule = build_schedule(
+        getattr(opt_cfg, "lr_scheduler", "cosine"),
+        opt_cfg.lr,
+        total_num_updates,
+        opt_cfg,
     )
+    opt_name = getattr(opt_cfg, "optimizer", "adam")
+    if opt_name == "adafactor":
+        inner = adafactor(schedule, opt_cfg.weight_decay)
+    else:
+        inner = fairseq_adam(
+            schedule,
+            b1=opt_cfg.adam_betas[0],
+            b2=opt_cfg.adam_betas[1],
+            eps=opt_cfg.adam_eps,
+            weight_decay=opt_cfg.weight_decay,
+        )
     mask = freeze_mask(params, model_cfg)
     labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
     tx = optax.multi_transform(
-        {
-            "train": fairseq_adam(
-                schedule,
-                b1=opt_cfg.adam_betas[0],
-                b2=opt_cfg.adam_betas[1],
-                eps=opt_cfg.adam_eps,
-                weight_decay=opt_cfg.weight_decay,
-            ),
-            "freeze": optax.set_to_zero(),
-        },
-        labels,
+        {"train": inner, "freeze": optax.set_to_zero()}, labels
     )
     return tx, schedule, mask

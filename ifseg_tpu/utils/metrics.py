@@ -312,6 +312,26 @@ def load_state_dict(state):
         _aggregators.setdefault(name, MetersDict()).load_state_dict(agg_state)
 
 
+def cross_process_sum(logging_output: Dict[str, Any]) -> Dict[str, Any]:
+    """Sum a logging dict across hosts (the reference's fast-stat-sync path,
+    trainer.py:1368-1407 / all_reduce_dict).  Single process: identity."""
+    import jax
+
+    if jax.process_count() == 1:
+        return logging_output
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    keys = sorted(logging_output)
+    out = dict(logging_output)
+    for k in keys:
+        v = logging_output[k]
+        if isinstance(v, (int, float)) or hasattr(v, "shape"):
+            gathered = multihost_utils.process_allgather(jnp.asarray(v))
+            out[k] = np.asarray(gathered).sum(axis=0)
+    return out
+
+
 # ----------------------------------------------------- segmentation deriveds
 
 
