@@ -34,17 +34,22 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e9
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, causal, lq, lk, bq):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq):
+    # rest = (mask_ref, out_ref) when a batch mask is passed, else (out_ref,)
+    mask_ref = rest[:-1]
+    out_ref = rest[-1]
     i = pl.program_id(1)
-    q = q_ref[0, 0].astype(jnp.float32)  # (bq, D)
-    k = k_ref[0, 0].astype(jnp.float32)  # (Lk, D)
+    # keep matmul inputs in their native (bf16) dtype: the MXU runs bf16 at
+    # 4x the fp32 rate; accumulation stays fp32 via preferred_element_type
+    q = q_ref[0, 0]  # (bq, D)
+    k = k_ref[0, 0]  # (Lk, D)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, Lk)
+    )  # (bq, Lk) fp32
     logits += bias_ref[0].astype(jnp.float32)
-    # key padding / tail-padding mask: True = masked out
-    mask = mask_ref[0, 0] != 0  # (Lk,)
-    logits = jnp.where(mask[None, :], NEG_INF, logits)
+    if mask_ref:  # batch-dependent key padding (tail padding lives in bias)
+        mask = mask_ref[0][0, 0] != 0  # (Lk,)
+        logits = jnp.where(mask[None, :], NEG_INF, logits)
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
         cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -52,12 +57,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, causal, lq
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / s
-    out = jax.lax.dot_general(
-        probs, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+    v = v_ref[0, 0]
+    # normalize AFTER the PV matmul: divides (bq, D) instead of (bq, Lk)
+    acc = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    out_ref[0, 0] = (acc / s).astype(out_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -116,36 +122,40 @@ def _flash_forward(q, k, v, bias, key_padding_mask, causal):
     if bias is None:
         bias = jnp.zeros((h, lq, lk), jnp.float32)
     bias_p = _pad_to(_pad_to(bias.astype(jnp.float32), lq_p, 1), lk_p, 2)
-    if key_padding_mask is None:
-        key_padding_mask = jnp.zeros((b, lk), bool)
-    maskp = _pad_to(key_padding_mask.astype(jnp.int32), lk_p, 1)
-    # tail keys beyond lk are always masked
-    tail = jnp.arange(lk_p) >= lk
-    maskp = jnp.maximum(maskp, tail[None].astype(jnp.int32))
-    maskp = maskp[:, None, :]  # (B, 1, Lk): 2D trailing dims for TPU tiling
+    # bake the tail-key mask into the padded bias: the common no-padding call
+    # then needs no mask input and no in-kernel where pass
+    if lk_p != lk:
+        tail = (jnp.arange(lk_p) >= lk)[None, None, :]
+        bias_p = jnp.where(tail, NEG_INF, bias_p)
 
+    inputs = [qp, kp, vp, bias_p]
     # grid order (h, i, b): batch varies fastest, so the (h, i)-indexed bias
     # block is unchanged across consecutive programs and Pallas skips its
     # DMA — without this the fp32 bias is re-fetched per batch element and
     # dominates the kernel's HBM traffic
     grid = (h, lq_p // bq, b)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
+        pl.BlockSpec((1, 1, lk_p, d), lambda h_, i, b_: (b_, h_, 0, 0)),
+        pl.BlockSpec((1, 1, lk_p, d), lambda h_, i, b_: (b_, h_, 0, 0)),
+        pl.BlockSpec((1, bq, lk_p), lambda h_, i, b_: (h_, i, 0)),
+    ]
+    if key_padding_mask is not None:
+        maskp = _pad_to(key_padding_mask.astype(jnp.int32), lk_p, 1)
+        inputs.append(maskp[:, None, :])  # (B, 1, Lk): 2D trailing tiling
+        in_specs.append(pl.BlockSpec((1, 1, lk_p), lambda h_, i, b_: (b_, 0, 0)))
+
     kernel = functools.partial(
         _attn_kernel, causal=causal, lq=lq, lk=lk, bq=bq
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, lk_p, d), lambda h_, i, b_: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, lk_p, d), lambda h_, i, b_: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, bq, lk_p), lambda h_, i, b_: (h_, i, 0)),
-            pl.BlockSpec((1, 1, lk_p), lambda h_, i, b_: (b_, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d), q.dtype),
         interpret=_interpret_mode(),
-    )(qp, kp, vp, bias_p, maskp)
+    )(*inputs)
     return out[:, :, :lq]
 
 
