@@ -243,6 +243,9 @@ class DistributedConfig:
     data_parallel: int = -1  # -1: all remaining devices
     tensor_parallel: int = 1
     fsdp: int = 1
+    # ZeRO-1: shard optimizer state over the data axis while params stay
+    # replicated (reference optim/shard.py via fairscale OSS, trainer.py:345)
+    zero1: bool = False
     coordinator_address: Optional[str] = None
     num_processes: int = 1
     process_id: int = 0

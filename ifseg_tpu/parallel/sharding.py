@@ -81,6 +81,35 @@ def param_shardings(params: Any, mesh: Mesh, use_tp=True, use_fsdp=True):
     return jax.tree_util.tree_map_with_path(shard_one, params)
 
 
+def opt_state_shardings(opt_state: Any, mesh: Mesh, zero1: bool = False,
+                        use_tp=True, use_fsdp=True):
+    """Shardings for optimizer-state leaves.  Array leaves follow the same
+    largest-axis rules as params (so mu/nu align with fsdp-sharded params);
+    with ``zero1`` they additionally shard over the data axis even when
+    params are replicated (the ZeRO-1 / fairscale-OSS pattern)."""
+
+    def shard_one(leaf):
+        shape = np.shape(leaf)
+        if len(shape) == 0:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        if use_fsdp and mesh.shape["fsdp"] > 1:
+            order = sorted(range(len(shape)), key=lambda i: -shape[i])
+            for i in order:
+                if shape[i] % mesh.shape["fsdp"] == 0 and shape[i] >= mesh.shape["fsdp"] * 8:
+                    spec[i] = "fsdp"
+                    break
+        if zero1 and mesh.shape["data"] > 1:
+            order = sorted(range(len(shape)), key=lambda i: -shape[i])
+            for i in order:
+                if spec[i] is None and shape[i] % mesh.shape["data"] == 0 and shape[i] >= mesh.shape["data"] * 8:
+                    spec[i] = "data"
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(shard_one, opt_state)
+
+
 def batch_sharding(mesh: Mesh):
     """Leading (batch) axis over both data axes."""
     def shard_one(leaf):

@@ -104,14 +104,13 @@ class Trainer:
             ema_params=ema,
         )
         # place on mesh
+        from ifseg_tpu.parallel.sharding import opt_state_shardings
+
         shardings = TrainState(
             step=replicated(self.mesh),
             params=param_shardings(params, self.mesh),
-            opt_state=jax.tree_util.tree_map(
-                lambda x: replicated(self.mesh)
-                if np.ndim(x) == 0
-                else param_shardings({"x": x}, self.mesh)["x"],
-                opt_state,
+            opt_state=opt_state_shardings(
+                opt_state, self.mesh, zero1=cfg.distributed.zero1
             ),
             ema_params=param_shardings(ema, self.mesh) if ema is not None else None,
         )
