@@ -96,6 +96,11 @@ class ModelConfig:
     dtype: str = "bfloat16"  # compute dtype; params are always fp32
     # fused Pallas attention (TPU only; falls back to XLA elsewhere)
     use_flash_attention: bool = True
+    # per-layer rematerialization: backward recomputes one layer at a time so
+    # attention-backward buffers never coexist across layers (the reference's
+    # modules/checkpoint_activations.py; required to fit OFA-Base training at
+    # 512px batch 16 in one chip's HBM)
+    checkpoint_activations: bool = True
 
     @property
     def head_dim(self) -> int:

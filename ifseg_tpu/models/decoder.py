@@ -85,8 +85,14 @@ class Decoder(nn.Module):
             jnp.float32,
         )
         dpr = np.linspace(0, cfg.decoder_drop_path_rate, nlayers)
+        # causal + deterministic (last two call args) are static under remat
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(7, 8))
+            if cfg.checkpoint_activations
+            else DecoderLayer
+        )
         self.layers = [
-            DecoderLayer(
+            layer_cls(
                 embed_dim=d,
                 ffn_dim=cfg.decoder_ffn_embed_dim,
                 num_heads=heads,
@@ -222,14 +228,8 @@ class Decoder(nn.Module):
             else:
                 seg_b = interp_seg_bias_with_bos_mats(seg_b, ah, aw, (sb, sb))
             x = layer(
-                x,
-                encoder_out=enc,
-                encoder_padding_mask=enc_pad,
-                self_attn_bias=self_bias0 + seg_b,
-                cross_attn_bias=cross_bias,
-                self_padding_mask=self_padding_mask,
-                causal=not full_context_alignment,
-                deterministic=deterministic,
+                x, enc, enc_pad, self_bias0 + seg_b, cross_bias,
+                self_padding_mask, not full_context_alignment, deterministic,
             )
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         if features_only:
@@ -289,13 +289,8 @@ class Decoder(nn.Module):
         enc_pad = encoder_out["encoder_padding_mask"]
         for i, layer in enumerate(self.layers):
             x = layer(
-                x,
-                encoder_out=enc,
-                encoder_padding_mask=enc_pad,
-                self_attn_bias=self_bias0 + tok_all[i],
-                cross_attn_bias=cross_bias,
-                causal=True,
-                deterministic=deterministic,
+                x, enc, enc_pad, self_bias0 + tok_all[i], cross_bias,
+                None, True, deterministic,
             )
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         return self.output_layer(x)

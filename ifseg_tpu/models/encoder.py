@@ -90,8 +90,15 @@ class Encoder(nn.Module):
             jnp.float32,
         )
         dpr = np.linspace(0, cfg.encoder_drop_path_rate, nlayers)
+        # deterministic (last call arg) is static; remat recomputes each
+        # layer's forward during backward instead of keeping activations
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4,))
+            if cfg.checkpoint_activations
+            else EncoderLayer
+        )
         self.layers = [
-            EncoderLayer(
+            layer_cls(
                 embed_dim=d,
                 ffn_dim=cfg.encoder_ffn_embed_dim,
                 num_heads=heads,
@@ -214,12 +221,7 @@ class Encoder(nn.Module):
             bias = bias0
             bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)
             bias = bias.at[:, :hw, :hw].add(img_b)
-            x = layer(
-                x,
-                padding_mask=padding_mask,
-                self_attn_bias=bias,
-                deterministic=deterministic,
-            )
+            x = layer(x, padding_mask, bias, deterministic)
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         return x
 

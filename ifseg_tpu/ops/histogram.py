@@ -10,14 +10,17 @@ import jax.numpy as jnp
 
 
 def class_histogram(ids, num_classes: int, weights=None):
-    """Counts of each class id in [0, num_classes); ids outside are dropped."""
+    """Counts of each class id in [0, num_classes); ids outside are dropped.
+
+    Formulated as a one-hot comparison + reduction rather than a scatter-add:
+    TPU scatters serialize, while (N, C) compare + sum is pure VPU work."""
     ids = ids.reshape(-1)
     valid = (ids >= 0) & (ids < num_classes)
     w = valid.astype(jnp.float32)
     if weights is not None:
         w = w * weights.reshape(-1).astype(jnp.float32)
-    ids = jnp.clip(ids, 0, num_classes - 1)
-    return jnp.zeros((num_classes,), jnp.float32).at[ids].add(w)
+    onehot = ids[:, None] == jnp.arange(num_classes, dtype=ids.dtype)[None, :]
+    return jnp.sum(onehot.astype(jnp.float32) * w[:, None], axis=0)
 
 
 def confusion_areas(pred, target, num_classes: int, valid=None):

@@ -121,6 +121,7 @@ class Trainer:
     # ------------------------------------------------------------- train step
 
     def _loss_fn(self, params, batch, dropout_rng):
+        """Image-free training loss (seg_criterion.py:179-183)."""
         cfg = self.cfg
         hw16 = cfg.model.patch_image_size // 16
         _, extra = self.model.apply(
@@ -142,6 +143,30 @@ class Trainer:
             cfg.criterion.label_smoothing,
         )
         return loss
+
+    def _loss_fn_supervised(self, params, batch, dropout_rng):
+        """Supervised branch (unsupervised_segmentation=false,
+        seg_criterion.py:188-192): CE of upsampled real-image logits vs the
+        augmented ground truth."""
+        from ifseg_tpu.train.criterion import _grid_from_logits, upsampled_ce
+
+        cfg = self.cfg
+        hw16 = cfg.model.patch_image_size // 16
+        logits, _ = self.model.apply(
+            {"params": params},
+            src_tokens=batch["src_tokens"],
+            patch_images=batch["patch_images"],
+            bos_tokens=batch["bos_tokens"],
+            full_context_alignment=cfg.criterion.full_context_alignment,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        grid = _grid_from_logits(logits, (hw16, hw16))
+        valid = batch["target"] != cfg.model.num_seg_tokens
+        out = upsampled_ce(
+            grid, batch["target"], valid, cfg.criterion.label_smoothing
+        )
+        return out.loss_sum / jnp.maximum(out.count, 1.0)
 
     def _monitor(self, params, batch):
         cfg = self.cfg
@@ -166,20 +191,25 @@ class Trainer:
     def _build_train_fn(self):
         cfg = self.cfg
         ufreq = max(cfg.optimization.update_freq, 1)
-        monitoring = cfg.criterion.unsupervised_segmentation
+        # unsupervised (image-free): train on the artificial grid with an
+        # inference-mode monitoring pass on the real batch; supervised:
+        # train directly on real images (seg_criterion.py:179-192)
+        unsupervised = cfg.criterion.unsupervised_segmentation
+        monitoring = unsupervised
+        loss_fn = self._loss_fn if unsupervised else self._loss_fn_supervised
 
         def step_fn(state: TrainState, batch: Dict[str, Any]):
             rng = jax.random.fold_in(self._base_rng, state.step)
 
             if ufreq == 1:
-                loss, grads = jax.value_and_grad(self._loss_fn)(
+                loss, grads = jax.value_and_grad(loss_fn)(
                     state.params, batch, rng
                 )
             else:
                 def micro(carry, mb):
                     acc, i = carry
                     r = jax.random.fold_in(rng, i)
-                    l, g = jax.value_and_grad(self._loss_fn)(state.params, mb, r)
+                    l, g = jax.value_and_grad(loss_fn)(state.params, mb, r)
                     acc = jax.tree_util.tree_map(jnp.add, acc, g)
                     return (acc, i + 1), l
 

