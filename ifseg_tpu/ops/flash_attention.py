@@ -159,14 +159,205 @@ def _flash_forward(q, k, v, bias, key_padding_mask, causal):
     return out[:, :, :lq]
 
 
+# --------------------------------------------------------------- backward
+
+def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
+    """Shared logits -> probabilities recompute for the backward kernels."""
+    logits = jax.lax.dot_general(
+        q_blk, k_all, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    logits += bias_blk.astype(jnp.float32)
+    if mask_ref:
+        mask = mask_ref[0][0, 0] != 0
+        logits = jnp.where(mask[None, :], NEG_INF, logits)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
+        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(cols > rows + (lk - lq), NEG_INF, logits)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    return e / s  # fp32 (bq, Lk)
+
+
+def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
+                         causal, lq, lk, bq, nb):
+    mask_ref = rest[:-2]
+    dq_ref, dbias_ref = rest[-2], rest[-1]
+    i = pl.program_id(1)
+    b_idx = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    p = _recompute_p(q, k, bias_ref[0], mask_ref, causal, i, bq, lq, lk)
+    do = do_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    dp = jax.lax.dot_general(
+        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, Lk)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    di = jnp.sum(do * o, axis=-1, keepdims=True)
+    dlogits = p * (dp - di)  # fp32 (bq, Lk)
+    dq = jax.lax.dot_general(
+        dlogits.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    # dbias accumulates over the (innermost) batch dimension
+    @pl.when(b_idx == 0)
+    def _():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    dbias_ref[0] += dlogits
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
+                    causal, lq, lk, bq, nb):
+    mask_ref = rest[:-2]
+    dk_ref, dv_ref = rest[-2], rest[-1]
+    i = pl.program_id(2)  # q-block index is innermost here
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    p = _recompute_p(q, k, bias_ref[0], mask_ref, causal, i, bq, lq, lk)
+    do = do_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    di = jnp.sum(do * o, axis=-1, keepdims=True)
+    dlogits = p * (dp - di)
+    dv_c = jax.lax.dot_general(  # (Lk, D) = p^T @ do
+        p.astype(do_ref.dtype), do_ref[0, 0],
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dk_c = jax.lax.dot_general(  # (Lk, D) = dlogits^T @ q
+        dlogits.astype(q.dtype), q,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += dk_c.astype(dk_ref.dtype)
+    dv_ref[0, 0] += dv_c.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, bias, key_padding_mask, causal, g):
+    """Pallas backward: streams q-blocks like the forward, recomputing the
+    probabilities — no (B, H, Lq, Lk) tensor ever reaches HBM (the XLA
+    autodiff fallback materializes it in fp32, the dominant training cost)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bq = min(256, max(128, lq))
+    lq_p = -(-lq // bq) * bq
+    lk_p = -(-lk // 128) * 128
+    nb = lq_p // bq
+
+    had_bias = bias is not None
+    if bias is None:
+        bias = jnp.zeros((h, lq, lk), jnp.float32)
+    bias_p = _pad_to(_pad_to(bias.astype(jnp.float32), lq_p, 1), lk_p, 2)
+    if lk_p != lk:
+        tail = (jnp.arange(lk_p) >= lk)[None, None, :]
+        bias_p = jnp.where(tail, NEG_INF, bias_p)
+    # padded (garbage) query rows must not contribute to dbias/dk/dv
+    gp = _pad_to(g, lq_p, 2)
+    qp = _pad_to(q, lq_p, 2)
+    kp = _pad_to(k, lk_p, 2)
+    vp = _pad_to(v, lk_p, 2)
+
+    base_inputs = [qp, kp, vp, bias_p, gp]
+    mask_input = []
+    if key_padding_mask is not None:
+        maskp = _pad_to(key_padding_mask.astype(jnp.int32), lk_p, 1)
+        mask_input = [maskp[:, None, :]]
+
+    qspec = lambda perm: pl.BlockSpec((1, 1, bq, d), perm)
+    kspec = lambda perm: pl.BlockSpec((1, 1, lk_p, d), perm)
+
+    # kernel A: dq (write-once) + dbias (accumulate over innermost b)
+    grid_a = (h, nb, b)
+    in_specs_a = [
+        qspec(lambda h_, i, b_: (b_, h_, i, 0)),
+        kspec(lambda h_, i, b_: (b_, h_, 0, 0)),
+        kspec(lambda h_, i, b_: (b_, h_, 0, 0)),
+        pl.BlockSpec((1, bq, lk_p), lambda h_, i, b_: (h_, i, 0)),
+        qspec(lambda h_, i, b_: (b_, h_, i, 0)),
+    ] + ([pl.BlockSpec((1, 1, lk_p), lambda h_, i, b_: (b_, 0, 0))] if mask_input else [])
+    dq_p, dbias_p = pl.pallas_call(
+        functools.partial(_bwd_dq_dbias_kernel, causal=causal, lq=lq, lk=lk, bq=bq, nb=nb),
+        grid=grid_a,
+        in_specs=in_specs_a,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
+            pl.BlockSpec((1, bq, lk_p), lambda h_, i, b_: (h_, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((h, lq_p, lk_p), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(*base_inputs, *mask_input)
+
+    # kernel B: dk/dv accumulate over innermost q-block index
+    grid_b = (h, b, nb)
+    in_specs_b = [
+        qspec(lambda h_, b_, i: (b_, h_, i, 0)),
+        kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
+        kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
+        pl.BlockSpec((1, bq, lk_p), lambda h_, b_, i: (h_, i, 0)),
+        qspec(lambda h_, b_, i: (b_, h_, i, 0)),
+    ] + ([pl.BlockSpec((1, 1, lk_p), lambda h_, b_, i: (b_, 0, 0))] if mask_input else [])
+    dk_p, dv_p = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, causal=causal, lq=lq, lk=lk, bq=bq, nb=nb),
+        grid=grid_b,
+        in_specs=in_specs_b,
+        out_specs=[
+            kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
+            kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lk_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lk_p, d), q.dtype),
+        ],
+        interpret=_interpret_mode(),
+    )(*base_inputs, *mask_input)
+
+    dq = dq_p[:, :, :lq]
+    dk = dk_p[:, :, :lk]
+    dv = dv_p[:, :, :lk]
+    db = dbias_p[:, :lq, :lk] if had_bias else None
+    return dq, dk, dv, db
+
+
 def _fwd(q, k, v, bias, key_padding_mask, causal):
     return _flash_forward(q, k, v, bias, key_padding_mask, causal), (
         q, k, v, bias, key_padding_mask,
     )
 
 
+# backward implementation: "xla" (recompute via einsums — faster per-op on
+# TPU, relies on per-layer remat to bound the fp32 logits memory) or
+# "pallas" (streaming kernels, no (B,H,Lq,Lk) HBM tensor — use when training
+# without activation checkpointing or at longer sequence lengths)
+BACKWARD_IMPL = "xla"
+
+
 def _bwd(causal, res, g):
     q, k, v, bias, key_padding_mask = res
+    if BACKWARD_IMPL == "pallas":
+        dq, dk, dv, db = _flash_backward(q, k, v, bias, key_padding_mask, causal, g)
+        return dq, dk, dv, db, None
     _, vjp = jax.vjp(
         lambda q_, k_, v_, b_: _attention_xla(q_, k_, v_, b_, key_padding_mask, causal),
         q, k, v, bias if bias is not None else jnp.zeros(

@@ -61,3 +61,46 @@ def test_gradients_flow():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_with_mask_and_causal(causal):
+    b, h, lq, lk, d = 2, 2, 80, 100, 16
+    q, k, v = _rand((b, h, lq, d), 0), _rand((b, h, lk, d), 1), _rand((b, h, lk, d), 2)
+    bias = _rand((h, lq, lk), 3)
+    mask = np.zeros((b, lk), bool)
+    mask[0, lk - 9 :] = True
+    mask = jnp.asarray(mask)
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(fa.flash_attention_bias(q, k, v, bias, mask, causal) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(fa._attention_xla(q, k, v, bias, mask, causal) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_backward_impl_matches_xla():
+    old = fa.BACKWARD_IMPL
+    try:
+        b, h, l, d = 1, 2, 64, 16
+        q, k, v = _rand((b, h, l, d), 0), _rand((b, h, l, d), 1), _rand((b, h, l, d), 2)
+        bias = _rand((h, l, l), 3)
+
+        def loss(q, k, v, bias):
+            return jnp.sum(fa.flash_attention_bias(q, k, v, bias, None, False) ** 2)
+
+        fa.BACKWARD_IMPL = "pallas"
+        gp = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        fa.BACKWARD_IMPL = "xla"
+        gx = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4
+            )
+    finally:
+        fa.BACKWARD_IMPL = old
