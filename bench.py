@@ -68,4 +68,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit exactly one JSON line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "segofa_base_512px_inference",
+                    "value": 0.0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": None,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        raise SystemExit(1)

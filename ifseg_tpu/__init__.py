@@ -15,7 +15,11 @@ Layer map (mirrors SURVEY.md §1 capability surface):
   ops/        resize/histogram/label-prop/CRF + Pallas attention kernels
   parallel/   mesh + sharding rules (dp/fsdp/tp)
   tokenization/  GPT-2 byte-level BPE + fairseq-compatible dictionary
-  convert/    torch ofa_*.pt checkpoint -> JAX pytree translation (vocab surgery)
+  checkpoint/ torch ofa_*.pt -> JAX pytree translation (vocab surgery) + orbax manager
+  generate/   beam-search sequence generation + search strategies
+  eval/       native-resolution mIoU evaluation under static shape buckets
+  benchmark/  synthetic tasks for zero-IO throughput measurement
+  utils/      metrics/meters, progress sinks, profiling, reliability, scoring
 """
 
 __version__ = "0.1.0"
