@@ -57,14 +57,16 @@ class EpochBatchIterator:
         return self._cur is None or self._cur.exhausted
 
     def next_epoch_itr(self, shuffle: bool = False) -> Iterator:
-        if self._cur is not None and not self._cur.exhausted:
-            pass  # resume mid-epoch
-        else:
-            if self._cur is not None:
+        if self._cur is not None:
+            if self._cur.exhausted:
+                # roll to a fresh epoch
                 self.epoch += 1
-            self._next_offset = 0
-        offset = self._next_offset
-        self._cur = _PrefetchIterator(self, self.epoch, offset)
+                self._next_offset = 0
+            else:
+                # resume the in-flight epoch at its current position
+                self._next_offset = self._cur.count
+        # else: _next_offset holds a restored mid-epoch position (or 0)
+        self._cur = _PrefetchIterator(self, self.epoch, self._next_offset)
         return self._cur
 
     def state_dict(self):

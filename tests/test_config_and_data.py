@@ -1,0 +1,128 @@
+"""Config flag parsing, dataset sharding/rotation, iterator resume."""
+
+import numpy as np
+import pytest
+
+from ifseg_tpu.config import from_flags, model_config_for_arch
+from ifseg_tpu.data.file_dataset import FileDataset
+from ifseg_tpu.data.iterators import EpochBatchIterator
+
+
+def test_from_flags_reference_style():
+    cfg = from_flags(
+        [
+            "a.tsv,b.tsv",
+            "--arch=segofa_base",
+            "--num-seg-tokens=150",
+            "--category-list=wall, sky, road",
+            "--batch-size=16",
+            "--lr=5.0e-5",
+            "--weight-decay=0.1",
+            "--adam-betas=(0.9,0.999)",
+            "--patch-image-size=512",
+            "--freeze-encoder-embedding=true",
+            "--encoder-drop-path-rate=0.1",
+            "--best-checkpoint-metric=mIoU",
+            "--maximize-best-checkpoint-metric",
+            "--unknown-flag-is-ignored=whatever",
+        ]
+    )
+    assert cfg.task.data == "a.tsv,b.tsv"
+    assert cfg.model.num_seg_tokens == 150  # propagated to model too
+    assert cfg.task.num_seg_tokens == 150
+    assert cfg.task.categories == ["wall", "sky", "road"]
+    assert cfg.optimization.batch_size == 16
+    assert cfg.optimization.lr == 5e-5
+    assert cfg.optimization.adam_betas == (0.9, 0.999)
+    assert cfg.model.patch_image_size == 512
+    assert cfg.model.freeze_encoder_embedding is True
+    assert cfg.checkpoint.maximize_best_checkpoint_metric is True
+
+
+def test_arch_variants():
+    huge = model_config_for_arch("segofa_huge")
+    assert huge.encoder_layers == 24 and huge.encoder_embed_dim == 1280
+    with pytest.raises(ValueError):
+        model_config_for_arch("segofa_nonexistent")
+
+
+@pytest.fixture
+def tsv(tmp_path):
+    p = tmp_path / "d.tsv"
+    rows = [f"img{i}\tseg{i}\t{i}" for i in range(10)]
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_file_dataset_slicing(tsv):
+    full = FileDataset(tsv, "0,1,2", cached_index=False, slice_id=0, slice_count=1)
+    assert len(full) == 10
+    assert full[3] == ["img3", "seg3", "3"]
+
+    # 3-way slicing: 4 + 3 + 3 contiguous rows (ref file_dataset.py:97-103)
+    parts = [
+        FileDataset(tsv, "0,1,2", cached_index=False, slice_id=i, slice_count=3)
+        for i in range(3)
+    ]
+    assert [len(p) for p in parts] == [4, 3, 3]
+    seen = [p[i][2] for p in parts for i in range(len(p))]
+    assert seen == [str(i) for i in range(10)]
+
+
+def test_file_dataset_row_cap(tsv):
+    ds = FileDataset(tsv, "0,1,2", cached_index=False)
+    ds.set_total_row_count(6)
+    assert len(ds) == 6
+    assert ds[5][2] == "5"
+
+
+def test_file_dataset_index_cache(tsv):
+    import os
+
+    ds = FileDataset(tsv, "0,1,2", cached_index=True)
+    assert os.path.exists(tsv + ".index.json")
+    ds2 = FileDataset(tsv, "0,1,2", cached_index=True)
+    assert ds2[7] == ["img7", "seg7", "7"]
+
+
+def test_iterator_resume_mid_epoch():
+    made = []
+
+    def make(i, rng):
+        made.append(i)
+        return i
+
+    it = EpochBatchIterator(
+        num_rows=8, batch_size=2, make_example=make, collate=lambda xs: xs,
+        seed=3, buffer_size=1,
+    )
+    epoch_iter = it.next_epoch_itr()
+    consumed = [next(epoch_iter), next(epoch_iter)]  # 2 of 4 batches
+    state = it.state_dict()
+    assert state["iterations_in_epoch"] == 2
+
+    # fresh iterator restored from state resumes at batch 2
+    it2 = EpochBatchIterator(
+        num_rows=8, batch_size=2, make_example=lambda i, rng: i,
+        collate=lambda xs: xs, seed=3, buffer_size=1,
+    )
+    it2.load_state_dict(state)
+    rest = list(it2.next_epoch_itr())
+    assert rest == [[4, 5], [6, 7]]
+
+    # epoch rolls over after exhaustion
+    assert it2.state_dict()["epoch"] == 1
+    nxt = list(it2.next_epoch_itr())
+    assert it2.epoch == 2 and len(nxt) == 4
+
+
+def test_iterator_per_row_rng_reproducible():
+    outs = {}
+    for attempt in range(2):
+        it = EpochBatchIterator(
+            num_rows=4, batch_size=2,
+            make_example=lambda i, rng: rng.integers(0, 1 << 30),
+            collate=lambda xs: xs, seed=5, buffer_size=1,
+        )
+        outs[attempt] = [x for b in it.next_epoch_itr() for x in b]
+    assert outs[0] == outs[1]
