@@ -18,7 +18,8 @@ import numpy as np
 
 def main():
     from ifseg_tpu.config import model_config_for_arch
-    from ifseg_tpu.models.segofa import SegOFA, SegOFAVariables
+    from ifseg_tpu.eval.serving import SegServer
+    from ifseg_tpu.models.segofa import SegOFAVariables
 
     cfg = model_config_for_arch("segofa_base")
     model, params = SegOFAVariables.init(cfg, jax.random.PRNGKey(0))
@@ -30,27 +31,28 @@ def main():
     img = jnp.asarray(rng.normal(size=(batch, s, s, 3)), jnp.float32)
     bos = jnp.zeros((batch, 1), jnp.int32)
 
+    # serving fast path: all batch-independent biases precomputed per
+    # checkpoint (ifseg_tpu/eval/serving.py); verified to match the standard
+    # forward in tests/test_serving.py
+    server = SegServer(model, params, src_len=32)
+
     @jax.jit
-    def forward(params, src, img, bos):
-        logits, _ = model.apply(
-            {"params": params},
-            src_tokens=src,
-            patch_images=img,
-            bos_tokens=bos,
-            deterministic=True,
-        )
+    def forward(params, pre, src, img, bos):
+        from ifseg_tpu.eval.serving import forward_served
+
+        logits = forward_served(model, params, pre, src, img, bos)
         # scalar result: the end-of-run host readback forces completion of the
         # whole dispatch queue (block_until_ready can return early through
         # remote-execution tunnels; a value transfer cannot)
         return jnp.sum(jnp.argmax(logits, axis=-1))
 
     # warmup / compile (value readback = hard sync)
-    float(forward(params, src, img, bos))
-    float(forward(params, src, img, bos))
+    float(forward(params, server.pre, src, img, bos))
+    float(forward(params, server.pre, src, img, bos))
 
     iters = 32
     t0 = time.perf_counter()
-    outs = [forward(params, src, img, bos) for _ in range(iters)]
+    outs = [forward(params, server.pre, src, img, bos) for _ in range(iters)]
     float(outs[-1])
     dt = time.perf_counter() - t0
     ips = batch * iters / dt

@@ -89,7 +89,7 @@ def main(cfg: Config) -> None:
             ckpt.save(
                 epoch,
                 trainer.state,
-                extra={"epoch": epoch, "metrics": None},
+                extra={"epoch": epoch, "metrics": metrics_lib.state_dict()},
                 val_metric=metric,
             )
     logger.info("done training; best %s=%s", cfg.checkpoint.best_checkpoint_metric,
@@ -127,6 +127,11 @@ def restore_training_state(cfg, trainer, ckpt) -> int:
     if last is not None and not cfg.checkpoint.reset_optimizer:
         trainer.state = ckpt.load(last, trainer.state)
         extra = ckpt.load_extra(last)
+        if extra.get("metrics") and not cfg.checkpoint.reset_meters:
+            try:
+                metrics_lib.load_state_dict(extra["metrics"])
+            except Exception:
+                logger.warning("could not restore metrics state; resetting")
         return int(extra.get("epoch", 0)) + 1
     return 1
 

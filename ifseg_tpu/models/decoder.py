@@ -236,6 +236,56 @@ class Decoder(nn.Module):
             return x
         return self.output_layer(x)
 
+    def precompute_biases(self, enc_pos_all, image_hw):
+        """Batch-independent decoder bias pack for a fixed shape (serving):
+        self bias (abs + per-layer seg rel) and the cross bias to a fixed
+        encoder layout."""
+        cfg = self.cfg
+        h, w = image_hw
+        sb = cfg.seg_bucket_size
+        tgt_pos = self._seg_pos_embed(h, w)
+        tgt_pos_ln = self.seg_pos_ln(tgt_pos)
+        self_bias0 = self._bias(
+            tgt_pos_ln, tgt_pos_ln, self.self_pos_q_linear, self.self_pos_k_linear
+        )
+        cross_bias = self._bias(
+            tgt_pos_ln, enc_pos_all, self.cross_pos_q_linear, self.cross_pos_k_linear
+        )
+        seg_bucket = make_image_bucket_position(sb, (2 * sb - 1) * (2 * sb - 1) + 3)
+        seg_all = gather_rel_bias_all_layers(self.seg_rel_pos_table, seg_bucket)
+        self_biases = []
+        for i in range(len(self.layers)):
+            seg_b = interp_seg_bias_with_bos(seg_all[i], (sb, sb), (h, w))
+            self_biases.append(self_bias0 + seg_b)
+        return {"self_biases": jnp.stack(self_biases), "cross_bias": cross_bias}
+
+    def decode_served(
+        self, bos_tokens, encoder_out, pre, full_context_alignment=False,
+        deterministic=True,
+    ):
+        """Surrogate decode with precomputed biases (inference fast path)."""
+        cfg = self.cfg
+        h, w = encoder_out["image_embed_shape"]
+        hw = h * w
+        enc = encoder_out["encoder_out"]
+        if cfg.decoder_input_type == "encoder_output":
+            image_feats = enc[:, :hw]
+        else:
+            image_feats = encoder_out["image_embed_before_scale"]
+        x = jnp.concatenate(
+            [self.embed_tokens(bos_tokens).astype(cfg_dtype(cfg)), image_feats], axis=1
+        )
+        if cfg.layernorm_embedding:
+            x = self.layernorm_embedding(x).astype(cfg_dtype(cfg))
+        enc_pad = encoder_out["encoder_padding_mask"]
+        for i, layer in enumerate(self.layers):
+            x = layer(
+                x, enc, enc_pad, pre["self_biases"][i], pre["cross_bias"],
+                None, not full_context_alignment, deterministic,
+            )
+        x = self.layer_norm(x).astype(cfg_dtype(cfg))
+        return self.output_layer(x)
+
     def decode_ar(
         self,
         prev_tokens,  # (B, L) generated ids

@@ -225,6 +225,66 @@ class Encoder(nn.Module):
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         return x
 
+    # --------------------------------------------------------------- serving
+
+    def precompute_biases(self, src_len: int, image_hw: Tuple[int, int]):
+        """Batch-independent bias pack for a FIXED input shape: every
+        attention bias and position embedding depends only on params + shape,
+        so a serving deployment computes them once per checkpoint instead of
+        per forward (ifseg_tpu/eval/serving.py)."""
+        cfg = self.cfg
+        h, w = image_hw
+        hw = h * w
+        t = src_len
+        pos_text = self.pos_ln(self.embed_positions(jnp.arange(t)))
+        pos_img = self.image_pos_ln(self._image_pos_embed(h, w))
+        pos_all = jnp.concatenate([pos_img, pos_text], axis=0)
+
+        bias0 = self._abs_bias(pos_all)
+        l_total = hw + t
+        token_bucket = make_token_bucket_position(cfg.token_bucket_size)[:t, :t]
+        tok_all = gather_rel_bias_all_layers(self.token_rel_pos_table, token_bucket)
+        orig_hw = cfg.orig_patch_image_size // 16
+        image_bucket = image_rp_bucket_for_grid(orig_hw, orig_hw, cfg.image_bucket_size)
+        img_all = gather_rel_bias_all_layers(self.image_rel_pos_table, image_bucket)
+
+        biases = []
+        for i in range(len(self.layers)):
+            img_b = interp_grid_bias(img_all[i], (orig_hw, orig_hw), image_hw)
+            bias = bias0
+            bias = bias.at[:, l_total - t :, l_total - t :].add(tok_all[i])
+            bias = bias.at[:, :hw, :hw].add(img_b)
+            biases.append(bias)
+        return {"pos_all": pos_all, "biases": jnp.stack(biases)}
+
+    def encode_served(self, src_tokens, patch_images, pre, deterministic=True):
+        """encode() with precomputed biases (inference fast path)."""
+        cfg = self.cfg
+        feats = self.embed_images(patch_images.astype(cfg_dtype(cfg)))
+        b, h, w, _ = feats.shape
+        hw = h * w
+        resnet_feats = feats.reshape(b, hw, -1)
+        image_embed_pre = self.image_proj(resnet_feats)
+        image_pad = jnp.zeros((b, hw), bool)
+        text_pad = src_tokens == PAD
+        padding_mask = jnp.concatenate([image_pad, text_pad], axis=1)
+
+        x_text = self._text_embed(src_tokens, deterministic)
+        x_img = self._image_token_embed(image_embed_pre, src_tokens, deterministic)
+        x = jnp.concatenate([x_img, x_text], axis=1)
+        x = x * (1.0 - padding_mask[:, :, None].astype(x.dtype))
+        for i, layer in enumerate(self.layers):
+            x = layer(x, padding_mask, pre["biases"][i], deterministic)
+        x = self.layer_norm(x).astype(cfg_dtype(cfg))
+        return {
+            "encoder_out": x,
+            "encoder_padding_mask": padding_mask,
+            "position_embeddings": pre["pos_all"],
+            "image_embed_before_scale": image_embed_pre,
+            "image_embed_before_proj": resnet_feats,
+            "image_embed_shape": (h, w),
+        }
+
     # ---------------------------------------------------------------- forward
 
     def encode(
