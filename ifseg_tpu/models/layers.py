@@ -50,7 +50,12 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        act = getattr(nn, self.activation_fn)
+        if self.activation_fn == "gelu":
+            # fairseq's gelu is the exact erf form (torch F.gelu default);
+            # flax nn.gelu defaults to the tanh approximation
+            act = lambda v: nn.gelu(v, approximate=False)
+        else:
+            act = getattr(nn, self.activation_fn)
         x = nn.Dense(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
         x = act(x)
         if self.activation_dropout > 0.0:

@@ -115,11 +115,15 @@ def build_generator(
     max_len: int = 1024,
     min_len: int = 1024,
     no_repeat_ngram_size: int = 0,
+    use_kv_cache: bool = True,
 ):
     """Build a beam-search generator over the AR decode path (parity with
     OFATask.build_generator, tasks/ofa_task.py:187-313; the seg eval_args pin
-    max_len == min_len, run_scripts --eval-args).  The step function recomputes
-    the causal prefix (see Decoder.decode_ar)."""
+    max_len == min_len, run_scripts --eval-args).
+
+    With ``use_kv_cache`` each step attends over cached keys/values (O(L) per
+    step, models/ar_cache.py — the incremental_state analog); otherwise the
+    step recomputes the causal prefix (Decoder.decode_ar)."""
     from ifseg_tpu.generate.sequence_generator import SequenceGenerator
 
     # tile batched encoder outputs across the beam (the generator's step sees
@@ -135,6 +139,27 @@ def build_generator(
         k: tile(v) if not isinstance(v, tuple) else v
         for k, v in encoder_out.items()
     }
+
+    if use_kv_cache:
+        from ifseg_tpu.models.ar_cache import ar_step, init_ar_cache
+
+        cache0 = init_ar_cache(
+            model.cfg, params, enc_tiled, bsz * beam, max_len + 2
+        )
+
+        def step_fn(tokens, step, cache):
+            return ar_step(model.cfg, params, cache, tokens, step)
+
+        gen = SequenceGenerator(
+            step_fn,
+            vocab_size=model.cfg.num_seg_tokens,
+            beam_size=beam,
+            max_len=max_len,
+            min_len=min_len,
+            no_repeat_ngram_size=no_repeat_ngram_size,
+        )
+        gen.initial_cache = cache0
+        return gen
 
     def step_fn(tokens, step, cache):
         logits = model.apply(
