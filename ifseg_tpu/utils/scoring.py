@@ -81,3 +81,85 @@ def wer(hypothesis: Sequence, reference: Sequence) -> float:
     if len(reference) == 0:
         return 0.0 if len(hypothesis) == 0 else 1.0
     return edit_distance(hypothesis, reference) / len(reference)
+
+
+def _lcs_len(a: Sequence, b: Sequence) -> int:
+    la, lb = len(a), len(b)
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        for j in range(1, lb + 1):
+            cur[j] = (
+                prev[j - 1] + 1 if a[i - 1] == b[j - 1] else max(prev[j], cur[j - 1])
+            )
+        prev = cur
+    return prev[lb]
+
+
+def rouge_l(hypothesis: Sequence, reference: Sequence, beta: float = 1.2) -> dict:
+    """ROUGE-L F/P/R (reference utils/rouge.py semantics: LCS-based)."""
+    lcs = _lcs_len(hypothesis, reference)
+    p = lcs / len(hypothesis) if hypothesis else 0.0
+    r = lcs / len(reference) if reference else 0.0
+    if p == 0 or r == 0:
+        f = 0.0
+    else:
+        f = (1 + beta**2) * p * r / (r + beta**2 * p)
+    return {"f": f, "p": p, "r": r}
+
+
+def cider_d(
+    hypotheses: Sequence[Sequence],
+    references: Sequence[Sequence[Sequence]],
+    max_order: int = 4,
+    sigma: float = 6.0,
+) -> float:
+    """CIDEr-D (Vedantam et al. 2015; reference utils/cider/): tf-idf weighted
+    n-gram cosine with a Gaussian length penalty, averaged over orders,
+    scaled by 10.  ``references[i]`` is a list of reference sequences."""
+    n_imgs = len(hypotheses)
+    assert len(references) == n_imgs
+
+    # document frequency over reference sets
+    df: Counter = Counter()
+    for refs in references:
+        seen = set()
+        for ref in refs:
+            for n in range(1, max_order + 1):
+                seen.update(_ngrams(list(ref), n).keys())
+        df.update(seen)
+    log_n = math.log(max(n_imgs, 1))
+
+    def tfidf(tokens):
+        vecs = []
+        norms = []
+        for n in range(1, max_order + 1):
+            counts = _ngrams(list(tokens), n)
+            vec = {}
+            for gram, c in counts.items():
+                idf = log_n - math.log(max(df.get(gram, 1), 1))
+                vec[gram] = c * max(idf, 0.0)
+            vecs.append(vec)
+            norms.append(math.sqrt(sum(v * v for v in vec.values())))
+        return vecs, norms
+
+    total = 0.0
+    for hyp, refs in zip(hypotheses, references):
+        hv, hn = tfidf(hyp)
+        score_i = 0.0
+        for ref in refs:
+            rv, rn = tfidf(ref)
+            delta = len(hyp) - len(ref)
+            length_pen = math.exp(-(delta**2) / (2 * sigma**2))
+            s = 0.0
+            for n in range(max_order):
+                # CIDEr-D clips the hypothesis tf-idf by the reference's
+                num = sum(
+                    min(hv[n][g], rv[n].get(g, 0.0)) * rv[n].get(g, 0.0)
+                    for g in hv[n]
+                )
+                den = hn[n] * rn[n]
+                s += (num / den if den > 0 else 0.0) * length_pen
+            score_i += s / max_order
+        total += 10.0 * score_i / max(len(refs), 1)
+    return total / max(n_imgs, 1)

@@ -73,7 +73,7 @@ def test_generator_over_ar_model(setup):
     gen = build_generator(
         model, params, enc, beam=2, max_len=4, min_len=4
     )
-    out = gen(bsz=1, cache=())
+    out = gen(bsz=1, cache=gen.initial_cache)
     toks = np.asarray(out.tokens)[0, 0]
     # pinned length: bos + 4 class tokens + eos(=2 slot id)
     assert np.argmax(toks == 2) == 5

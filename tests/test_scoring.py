@@ -79,3 +79,23 @@ def test_schedulers():
     cos = build_schedule("cosine", 1.0, 100, None)
     assert float(cos(0)) == pytest.approx(1.0)
     assert float(cos(100)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_rouge_l():
+    from ifseg_tpu.utils.scoring import rouge_l
+
+    same = rouge_l([1, 2, 3, 4], [1, 2, 3, 4])
+    assert same["f"] == pytest.approx(1.0)
+    partial = rouge_l([1, 2, 9, 4], [1, 2, 3, 4])
+    assert 0 < partial["f"] < 1
+    assert rouge_l([], [1, 2])["f"] == 0.0
+
+
+def test_cider_d():
+    from ifseg_tpu.utils.scoring import cider_d
+
+    hyps = [[1, 2, 3, 4, 5], [6, 7, 8, 9]]
+    refs = [[[1, 2, 3, 4, 5]], [[6, 7, 8, 9]]]
+    perfect = cider_d(hyps, refs)
+    noisy = cider_d([[1, 9, 9, 9, 5], [6, 9, 9, 9]], refs)
+    assert perfect > noisy >= 0.0
