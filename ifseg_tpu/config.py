@@ -176,6 +176,8 @@ class TaskConfig:
     epoch_row_count: int = -1
     valid_batch_size: int = 1
     uses_ema: bool = False
+    # >0: multi-process shared-memory feed (reference --num-workers)
+    num_workers: int = 0
 
     @property
     def categories(self) -> List[str]:

@@ -31,6 +31,7 @@ class EpochBatchIterator:
         epoch: int = 1,
         buffer_size: int = 2,
         drop_last: bool = True,
+        num_workers: int = 0,  # >0: multi-process shared-memory feed
     ):
         self.num_rows = num_rows
         self.batch_size = batch_size
@@ -40,8 +41,20 @@ class EpochBatchIterator:
         self.epoch = max(epoch, 1)
         self.buffer_size = buffer_size
         self.drop_last = drop_last
+        self.num_workers = num_workers
         self._cur: Optional["_PrefetchIterator"] = None
         self._next_offset = 0
+
+    def _make_batch(self, epoch: int, b: int):
+        """Build batch ``b`` of ``epoch`` (shared by both feed backends)."""
+        lo = b * self.batch_size
+        hi = min(lo + self.batch_size, self.num_rows)
+        examples = []
+        for i in range(lo, hi):
+            # per-row rng: reproducible regardless of worker count/resume
+            rng = np.random.default_rng((self.seed, epoch, i))
+            examples.append(self.make_example(i, rng))
+        return self.collate(examples)
 
     def __len__(self):
         if self.drop_last:
@@ -66,7 +79,10 @@ class EpochBatchIterator:
                 # resume the in-flight epoch at its current position
                 self._next_offset = self._cur.count
         # else: _next_offset holds a restored mid-epoch position (or 0)
-        self._cur = _PrefetchIterator(self, self.epoch, self._next_offset)
+        if self.num_workers > 0:
+            self._cur = _ShmIterator(self, self.epoch, self._next_offset)
+        else:
+            self._cur = _PrefetchIterator(self, self.epoch, self._next_offset)
         return self._cur
 
     def state_dict(self):
@@ -87,6 +103,73 @@ class EpochBatchIterator:
         self._cur = None
 
 
+def _to_array_dict(batch):
+    """Array-only view of a batch (dict or SegBatch-like dataclass) for the
+    fixed-shape shared-memory feed."""
+    if isinstance(batch, dict):
+        items = batch.items()
+    else:
+        items = vars(batch).items()
+    return {
+        k: np.asarray(v)
+        for k, v in items
+        if v is not None and hasattr(v, "shape") and np.asarray(v).dtype != object
+    }
+
+
+class _ShmIterator:
+    """Multi-process feed backend (data/shm_feed.py); same interface as
+    _PrefetchIterator but batches come back as plain dicts of arrays."""
+
+    def __init__(self, parent: "EpochBatchIterator", epoch: int, start_batch: int):
+        from ifseg_tpu.data.shm_feed import ShmBatchFeed
+
+        self.parent = parent
+        self.epoch = epoch
+        self.count = start_batch
+        self.total = len(parent)
+        self.exhausted = start_batch >= self.total
+
+        if self.exhausted:
+            self._feed = None
+            return
+        template = _to_array_dict(parent._make_batch(epoch, start_batch))
+
+        def make(i):
+            b = start_batch + i
+            if b >= self.total:
+                return None
+            return _to_array_dict(parent._make_batch(epoch, b))
+
+        self._feed = ShmBatchFeed(
+            make, template, num_workers=parent.num_workers,
+            slots_per_worker=max(parent.buffer_size, 2),
+        )
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self.exhausted:
+            self.close()
+            raise StopIteration
+        try:
+            batch = self._feed.get()
+        except StopIteration:
+            self.exhausted = True
+            self.close()
+            raise
+        self.count += 1
+        if self.count >= self.total:
+            self.exhausted = True
+        return batch
+
+    def close(self):
+        if self._feed is not None:
+            self._feed.close()
+            self._feed = None
+
+
 class _PrefetchIterator:
     def __init__(self, parent: EpochBatchIterator, epoch: int, start_batch: int):
         self.parent = parent
@@ -104,14 +187,7 @@ class _PrefetchIterator:
         for b in range(start_batch, self.total):
             if self._stop.is_set():
                 break
-            lo = b * p.batch_size
-            hi = min(lo + p.batch_size, p.num_rows)
-            examples = []
-            for i in range(lo, hi):
-                # per-row rng: reproducible regardless of worker count/resume
-                rng = np.random.default_rng((p.seed, self.epoch, i))
-                examples.append(p.make_example(i, rng))
-            self._queue.put(p.collate(examples))
+            self._queue.put(p._make_batch(self.epoch, b))
         self._queue.put(None)
 
     def __iter__(self):

@@ -79,6 +79,7 @@ class SegmentationTask:
                 collate=ds.collate_train,
                 seed=seed,
                 epoch=epoch,
+                num_workers=self.cfg.num_workers,
             )
         return EpochBatchIterator(
             num_rows=len(ds),

@@ -29,3 +29,26 @@ def test_ordered_delivery_and_content():
             feed.get()
     finally:
         feed.close()
+
+
+def test_epoch_iterator_with_workers_matches_threaded():
+    from ifseg_tpu.data.iterators import EpochBatchIterator
+
+    def make_example(i, rng):
+        return {"v": np.full((3,), i, np.float32) + rng.uniform()}
+
+    def collate(xs):
+        return {"v": np.stack([x["v"] for x in xs])}
+
+    def run(num_workers):
+        it = EpochBatchIterator(
+            num_rows=8, batch_size=2, make_example=make_example,
+            collate=collate, seed=9, num_workers=num_workers,
+        )
+        return [np.array(b["v"]) for b in it.next_epoch_itr()]
+
+    threaded = run(0)
+    multiproc = run(2)
+    assert len(threaded) == len(multiproc) == 4
+    for a, b in zip(threaded, multiproc):
+        np.testing.assert_array_equal(a, b)
