@@ -135,3 +135,34 @@ def test_evaluator_smoke(setup, monkeypatch):
     # total label area equals the number of (non-unknown) original pixels
     assert np.isclose(out["area_label"].sum(), 100 * 160)
     assert "area_intersect_resnet_postprocess" in out
+
+
+def test_evaluator_mixed_shapes(setup, monkeypatch):
+    """Several distinct image/target shapes through one Evaluator: bucket
+    cache reuse, both orientation paddings, consistent area totals."""
+    import ifseg_tpu.eval.evaluator as ev
+
+    monkeypatch.setattr(ev, "BUCKET", 64)
+    monkeypatch.setattr(ev, "ROW_CHUNK", 32)
+
+    cfg, model, params = setup
+    from ifseg_tpu.config import Config
+    from ifseg_tpu.data.segmentation_dataset import EvalSample
+
+    full_cfg = Config().replace(model=cfg)
+    evaluator = ev.Evaluator(full_cfg, model)
+    rng = np.random.default_rng(3)
+    shapes = [((48, 80), (96, 160)), ((80, 48), (200, 120)), ((48, 80), (90, 150))]
+    for (h, w), (H, W) in shapes:
+        sample = EvalSample(
+            patch_image=rng.normal(size=(h, w, 3)).astype(np.float32),
+            src_tokens=rng.integers(4, 100, size=(10,)).astype(np.int32),
+            bos_token=np.zeros((1,), np.int32),
+            ori_semantic_seg=rng.integers(0, 5, size=(H, W)).astype(np.int32),
+            ori_shape=(H, W, 3),
+        )
+        out = evaluator.eval_sample(params, sample)
+        assert np.isclose(out["area_label"].sum(), H * W), (H, W)
+        assert np.isfinite(out["nll_loss"])
+    # first and third shapes share buckets -> only 2 compiled fns
+    assert len(evaluator._fns) == 2
