@@ -303,12 +303,34 @@ def _flag_index():
     return _FLAG_SECTIONS
 
 
+def load_config_file(path: str) -> List[str]:
+    """A JSON config file holding {"flag-name": value, ...} expanded into the
+    same flag strings `from_flags` parses (the hydra_train analog)."""
+    with open(path) as fp:
+        blob = json.load(fp)
+    argv = []
+    for k, v in blob.items():
+        if k == "data":
+            argv.append(str(v))
+        else:
+            argv.append(f"--{k}={v}")
+    return argv
+
+
 def from_flags(argv: List[str], arch: Optional[str] = None) -> Config:
     """Build a Config from reference-style `--flag-name=value` strings.
 
     Positional (non ``--``) args are treated as the data path, matching the
     reference CLI where data is positional (train.py / options.py).
+    ``--config=file.json`` expands a JSON flag file in place.
     """
+    expanded = []
+    for tok in argv:
+        if tok.startswith("--config="):
+            expanded.extend(load_config_file(tok.split("=", 1)[1]))
+        else:
+            expanded.append(tok)
+    argv = expanded
     cfg = Config()
     if arch:
         cfg = cfg.replace(model=model_config_for_arch(arch))

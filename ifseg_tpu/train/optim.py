@@ -129,6 +129,49 @@ def build_schedule(name: str, lr: float, total_num_updates: int, opt_cfg=None):
     raise ValueError(f"unknown lr scheduler {name}; known: {sorted(SCHEDULERS)}")
 
 
+class DynamicLossScaler:
+    """Dynamic loss scaling (optim/dynamic_loss_scaler.py:7) for fp16-parity
+    experiments; bf16 training doesn't need it (fp32 exponent range), but the
+    reference trains fp16 with --fp16-scale-window=512.
+
+    Usage: scale the loss by ``.scale`` before backward, call ``.update``
+    with whether grads overflowed; skip the update on overflow."""
+
+    def __init__(
+        self,
+        init_scale: float = 2.0**7,
+        scale_window: int = 512,
+        scale_factor: float = 2.0,
+        min_loss_scale: float = 1e-4,
+        tolerance: float = 0.0,
+    ):
+        self.scale = init_scale
+        self.scale_window = scale_window
+        self.scale_factor = scale_factor
+        self.min_loss_scale = min_loss_scale
+        self.tolerance = tolerance
+        self._iter = 0
+        self._last_overflow_iter = -1
+        self._overflows_since_rescale = 0
+
+    def update(self, overflow: bool) -> bool:
+        """Returns True when the step should be SKIPPED."""
+        self._iter += 1
+        if overflow:
+            self._overflows_since_rescale += 1
+            pct = self._overflows_since_rescale / max(
+                self._iter - self._last_overflow_iter, 1
+            )
+            if pct >= self.tolerance:
+                self.scale = max(self.scale / self.scale_factor, self.min_loss_scale)
+                self._last_overflow_iter = self._iter
+                self._overflows_since_rescale = 0
+            return True
+        if (self._iter - self._last_overflow_iter) % self.scale_window == 0:
+            self.scale *= self.scale_factor
+        return False
+
+
 def adafactor(learning_rate: Callable, weight_decay: float = 0.0):
     """Factored second-moment optimizer (optim/adafactor.py) via optax."""
     tx = optax.adafactor(learning_rate=learning_rate, weight_decay_rate=weight_decay or None)

@@ -126,3 +126,36 @@ def test_iterator_per_row_rng_reproducible():
         )
         outs[attempt] = [x for b in it.next_epoch_itr() for x in b]
     assert outs[0] == outs[1]
+
+
+def test_config_file_expansion(tmp_path):
+    import json
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "data": "x.tsv,y.tsv",
+        "num-seg-tokens": 7,
+        "lr": 1e-4,
+        "category-list": "a, b, c, d, e, f, g",
+    }))
+    cfg = from_flags([f"--config={p}", "--batch-size=4"])
+    assert cfg.task.data == "x.tsv,y.tsv"
+    assert cfg.model.num_seg_tokens == 7
+    assert cfg.optimization.lr == 1e-4
+    assert cfg.optimization.batch_size == 4
+
+
+def test_dynamic_loss_scaler():
+    from ifseg_tpu.train.optim import DynamicLossScaler
+
+    s = DynamicLossScaler(init_scale=128.0, scale_window=4, scale_factor=2.0)
+    assert s.update(overflow=True)  # skip + halve
+    assert s.scale == 64.0
+    for _ in range(3):
+        assert not s.update(overflow=False)
+    assert not s.update(overflow=False)  # 4th good step -> doubles
+    assert s.scale == 128.0
+    # floor
+    for _ in range(60):
+        s.update(overflow=True)
+    assert s.scale >= 1e-4
