@@ -161,17 +161,33 @@ def train_epoch(cfg, task, trainer, epoch: int) -> None:
             tensorboard_logdir=cfg.common.tensorboard_logdir,
             wandb_project=cfg.common.wandb_project,
         )
-        for i, batch in enumerate(progress):
+        # one-batch device prefetch: the host->device upload of batch i+1
+        # overlaps step i's compute (device_put is async)
+        batch_iter = iter(progress)
+        try:
+            pending = trainer.prepare_batch(next(batch_iter))
+        except StopIteration:
+            pending = None
+        i = -1
+        while pending is not None:
+            i += 1
+            current, pending = pending, None
+            try:
+                pending = trainer.prepare_batch(next(batch_iter))
+            except StopIteration:
+                pass
             with timer, span(f"train_step-{i}"):
-                logs = trainer.train_step(batch)
+                logs = trainer.train_step(current)
             heartbeat.beat()
-            logs_buffer.append(jax.device_get(logs))
+            # keep logs as device arrays: a device_get here would sync every
+            # step and serialize upload -> compute -> readback
+            logs_buffer.append(logs)
             if (i + 1) % cfg.common.log_interval == 0:
-                task.reduce_metrics(logs_buffer)
+                task.reduce_metrics([jax.device_get(l) for l in logs_buffer])
                 logs_buffer.clear()
                 progress.log(agg.get_smoothed_values(), step=trainer.get_num_updates())
         if logs_buffer:
-            task.reduce_metrics(logs_buffer)
+            task.reduce_metrics([jax.device_get(l) for l in logs_buffer])
         progress.print(agg.get_smoothed_values(), tag="train", step=trainer.get_num_updates())
     heartbeat.stop()
     metrics_lib.reset_meters("train_epoch")

@@ -110,11 +110,15 @@ def _to_array_dict(batch):
         items = batch.items()
     else:
         items = vars(batch).items()
-    return {
-        k: np.asarray(v)
-        for k, v in items
-        if v is not None and hasattr(v, "shape") and np.asarray(v).dtype != object
-    }
+    out = {}
+    for k, v in items:
+        if v is None or not hasattr(v, "shape"):
+            continue
+        arr = np.asarray(v)
+        if not np.issubdtype(arr.dtype, np.number) and arr.dtype != bool:
+            continue  # string ids etc. don't belong in device batches
+        out[k] = arr
+    return out
 
 
 class _ShmIterator:
@@ -162,7 +166,9 @@ class _ShmIterator:
         self.count += 1
         if self.count >= self.total:
             self.exhausted = True
-        return batch
+        # copy out of the shared-memory slot: consumers may hand the batch to
+        # an async device transfer that outlives the slot's recycling
+        return {k: np.array(v) for k, v in batch.items()}
 
     def close(self):
         if self._feed is not None:

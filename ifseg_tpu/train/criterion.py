@@ -75,12 +75,19 @@ def _row_chunk_scan(grid, out_hw, row_chunks: int, body):
         preferred_element_type=jnp.float32,
     )  # (B, h, W, C)
 
-    def scan_body(carry, xs):
-        i, ah_c = xs
+    # remat: without it the scan's backward saves every chunk's (B, rows, W,
+    # C) logits (~2.5GB at reference scale); recomputing each chunk from the
+    # shared `tmp` keeps backward memory O(one chunk)
+    @jax.checkpoint
+    def chunk_step(carry, tmp, ah_c, i):
         chunk = jnp.einsum(
             "rk,bkWc->brWc", ah_c, tmp, preferred_element_type=jnp.float32
         )  # (B, rows, W, C)
-        return body(carry, chunk, i, rows), None
+        return body(carry, chunk, i, rows)
+
+    def scan_body(carry, xs):
+        i, ah_c = xs
+        return chunk_step(carry, tmp, ah_c, i), None
 
     init = body(None, None, None, rows)
     carry, _ = jax.lax.scan(

@@ -265,19 +265,26 @@ class Trainer:
 
         bs = batch_sharding(self.mesh)
         self._base_rng = self._rng
-        self._train_fn = jax.jit(
-            step_fn,
-            in_shardings=(self.state_shardings, None),
-            donate_argnums=(0,),
-        )
+        # shardings are committed on the state/batch arrays themselves
+        # (init_state/_batch_to_arrays device_put), so jit infers the GSPMD
+        # layout from its arguments; passing explicit in_shardings measurably
+        # slowed the step on single-chip runs
+        self._train_fn = jax.jit(step_fn, donate_argnums=(0,))
         self._batch_shard = bs
 
+    def prepare_batch(self, batch) -> Dict[str, Any]:
+        """Async host->device transfer of a batch (device_put returns
+        immediately); call one batch ahead so the upload overlaps the current
+        step's compute."""
+        ufreq = max(self.cfg.optimization.update_freq, 1)
+        return self._batch_to_arrays(batch, ufreq=ufreq)
+
     def train_step(self, batch) -> Dict[str, Any]:
-        """batch: SegBatch or dict of numpy arrays (leading batch axis)."""
+        """batch: SegBatch or dict of numpy arrays (leading batch axis), or a
+        device-resident dict from prepare_batch."""
         if self._train_fn is None:
             self._build_train_fn()
-        ufreq = max(self.cfg.optimization.update_freq, 1)
-        arrays = self._batch_to_arrays(batch, ufreq=ufreq)
+        arrays = self.prepare_batch(batch)
         self.state, logs = self._train_fn(self.state, arrays)
         return logs
 
@@ -297,6 +304,12 @@ class Trainer:
         out = {}
         for k, v in batch.items():
             if v is None:
+                continue
+            if isinstance(v, jax.Array) and ufreq == 1:
+                # already device-resident (e.g. a re-fed batch): never pull it
+                # back to host — np.asarray on a device array is a full
+                # round trip through the transfer path per step
+                out[k] = v
                 continue
             v = np.asarray(v)
             if ufreq > 1:
@@ -341,7 +354,7 @@ class Trainer:
             out["loss"] = out["nll_loss"]
             return out
 
-        self._valid_fn = jax.jit(valid_fn, in_shardings=(self.state_shardings, None))
+        self._valid_fn = jax.jit(valid_fn)
 
     def valid_step(self, batch) -> Dict[str, Any]:
         """Fixed-shape validation (train-res). Native-resolution eval lives in
