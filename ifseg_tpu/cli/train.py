@@ -117,6 +117,11 @@ def maybe_restore_pretrained(cfg: Config, trainer: Trainer):
         return convert_torch_state_dict(
             sd, cfg.model.vocab_size, reference_params=fresh
         )
+    if os.path.isdir(path):  # orbax checkpoint directory (params only)
+        from ifseg_tpu.cli.infer import load_params
+
+        logger.info("restoring params from orbax checkpoint %s", path)
+        return load_params(path, cfg)
     raise ValueError(f"unsupported restore file {path}")
 
 
@@ -196,6 +201,9 @@ def train_epoch(cfg, task, trainer, epoch: int) -> None:
 def validate(cfg, task, trainer, epoch: int, evaluator) -> dict:
     """Native-resolution eval over the valid TSV (ref train.py:434-516)."""
     ds = task.datasets["valid"]
+    # fresh meters per validation: the aggregator is keyed by name, and
+    # without a reset the per-class areas would accumulate across epochs
+    metrics_lib.reset_meters("valid")
     with metrics_lib.aggregate("valid", new_root=True) as agg:
         t0 = time.time()
         n = 0

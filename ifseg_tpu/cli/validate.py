@@ -34,6 +34,7 @@ def main(cfg: Config) -> dict:
     model = SegOFA(cfg.model)
     evaluator = Evaluator(cfg, model)
 
+    metrics_lib.reset_meters("validate")
     with metrics_lib.aggregate("validate", new_root=True) as agg:
         t0 = time.time()
         logs = []

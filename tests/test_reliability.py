@@ -71,3 +71,17 @@ def test_meters_state_roundtrip():
     md2.load_state_dict(state)
     assert md2["avg"].avg == 3.0
     np.testing.assert_array_equal(md2["sum"].sum, [1.0, 2.0])
+
+
+def test_named_aggregator_reset_between_uses():
+    """Reusing a named aggregator without reset would accumulate across
+    validations (regression: train-time valid mIoU was cumulative)."""
+    from ifseg_tpu.utils import metrics as m
+
+    for expected in (1.0, 0.25):
+        m.reset_meters("val_reset_test")
+        with m.aggregate("val_reset_test") as agg:
+            inter = np.array([1.0]) * expected
+            union = np.array([1.0])
+            m.log_seg_areas((inter, inter, inter, union))
+        assert agg.get_smoothed_values()["mIoU"] == expected
