@@ -159,3 +159,47 @@ def test_dynamic_loss_scaler():
     for _ in range(60):
         s.update(overflow=True)
     assert s.scale >= 1e-4
+
+
+def test_reference_runscript_flags_parse():
+    """The exact flag set run_scripts/IFSeg/common.sh emits (mirroring the
+    reference coco_unseen.sh) must parse into the expected config."""
+    argv = [
+        "./dataset/ade/validation.tsv,./dataset/ade/validation.tsv",
+        "--selected-cols=0,1,2", "--bpe-dir=./assets/BPE",
+        "--restore-file=ofa_base.pt", "--reset-optimizer", "--reset-dataloader",
+        "--reset-meters", "--save-dir=./out", "--arch=segofa_base",
+        "--num-seg-tokens=150", "--category-list=wall, building, sky",
+        "--prompt-prefix=what is the segmentation map of the image? object:",
+        "--artificial-image-type=rand_k-1-33",
+        "--unsupervised-segmentation=true",
+        "--batch-size=16", "--batch-size-valid=1", "--update-freq=1",
+        "--criterion-update-freq=1", "--patch-image-size=512",
+        "--orig-patch-image-size=512", "--label-smoothing=0.0",
+        "--freeze-encoder-embedding=true", "--freeze-decoder-embedding=true",
+        "--freeze-seg-embedding=true", "--freeze-entire-resnet=true",
+        "--resnet-drop-path-rate=0.0", "--encoder-drop-path-rate=0.1",
+        "--decoder-drop-path-rate=0.1", "--dropout=0.1",
+        "--attention-dropout=0.0", "--weight-decay=0.1",
+        "--adam-betas=(0.9,0.999)", "--adam-eps=1e-08", "--clip-norm=1.0",
+        "--lr-scheduler=cosine", "--lr=5.0e-5", "--warmup-ratio=0.0",
+        "--max-epoch=20", "--epoch-row-count=1600",
+        "--fixed-validation-seed=7", "--seed=7", "--keep-best-checkpoints=1",
+        "--keep-last-epochs=1", "--save-interval=1", "--validate-interval=1",
+        "--best-checkpoint-metric=mIoU", "--maximize-best-checkpoint-metric",
+        "--max-src-length=80", "--max-tgt-length=20",
+        "--tie-seg-projection=true", "--init-seg-with-text=true",
+        "--decoder-type=surrogate", "--decoder-input-type=encoder_output",
+        "--full-context-alignment=false", "--resnet-topk=3",
+        "--resnet-iters=25", "--log-format=simple", "--log-interval=10",
+    ]
+    cfg = from_flags(argv)
+    assert cfg.model.encoder_layers == 6 and cfg.model.encoder_embed_dim == 768
+    assert cfg.model.num_seg_tokens == 150 and cfg.task.num_seg_tokens == 150
+    assert cfg.optimization.lr == 5e-5 and cfg.optimization.lr_scheduler == "cosine"
+    assert cfg.task.epoch_row_count == 1600
+    assert cfg.criterion.resnet_iters == 25
+    assert cfg.checkpoint.best_checkpoint_metric == "mIoU"
+    assert cfg.checkpoint.reset_optimizer and cfg.checkpoint.reset_meters
+    assert cfg.task.prompt_prefix.startswith("what is the segmentation")
+    assert cfg.task.artificial_image_type == "rand_k-1-33"
