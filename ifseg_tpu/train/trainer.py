@@ -246,11 +246,15 @@ class Trainer:
             )
             logs = {
                 "loss": loss,
-                "imfree_loss": loss,
+                # reference logging: imfree_loss is the artificial-grid loss,
+                # zero in the supervised branch (seg_criterion.py:190, :222-228)
+                "imfree_loss": loss if unsupervised else jnp.zeros_like(loss),
                 "gnorm": gnorm,
                 "lr": self.schedule(state.step),
                 "n_nonfinite": 1.0 - finite.astype(jnp.float32),
             }
+            if not unsupervised:
+                logs["seg_loss"] = loss
             if monitoring:
                 mb0 = (
                     jax.tree_util.tree_map(lambda x: x[0], batch)
