@@ -161,6 +161,7 @@ class TaskConfig:
 
     data: str = ""  # comma-separated TSV paths; valid is last
     selected_cols: str = "0,1,2"
+    bpe: str = "gpt2"  # 'gpt2' (OFA) or 'bert' (OFA-CN); ofa_task.py:169
     bpe_dir: str = "assets/BPE"
     max_src_length: int = 80
     max_tgt_length: int = 20
@@ -348,7 +349,7 @@ def from_flags(argv: List[str], arch: Optional[str] = None) -> Config:
         if name == "arch":
             cfg = cfg.replace(model=model_config_for_arch(value))
             continue
-        if name in ("task", "criterion", "user_dir", "bpe"):
+        if name in ("task", "criterion", "user_dir"):
             continue  # registry selectors; single-task framework
         idx = _flag_index()
         if name not in idx:

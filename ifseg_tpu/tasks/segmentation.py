@@ -23,6 +23,7 @@ from ifseg_tpu.data.iterators import EpochBatchIterator
 from ifseg_tpu.data.segmentation_dataset import SegmentationDataset
 from ifseg_tpu.tasks.registry import register_task
 from ifseg_tpu.tokenization.dictionary import Dictionary, build_seg_dictionary
+from ifseg_tpu.tokenization.bert_bpe import BertBPE
 from ifseg_tpu.tokenization.gpt2_bpe import GPT2BPE
 from ifseg_tpu.utils import metrics as metrics_lib
 
@@ -46,7 +47,16 @@ class SegmentationTask:
             num_bins=task_cfg.num_bins,
             num_seg_tokens=task_cfg.num_seg_tokens,
         )
-        bpe = GPT2BPE.from_dir(task_cfg.bpe_dir)
+        bpe_name = getattr(task_cfg, "bpe", "gpt2")
+        if bpe_name == "bert":
+            # OFA-CN: WordPiece over vocab.txt in the bpe dir; the dictionary
+            # (dict.txt alongside it) maps token strings to ids
+            # (reference tasks/ofa_task.py:169-176).
+            bpe = BertBPE(os.path.join(task_cfg.bpe_dir, "vocab.txt"))
+        elif bpe_name == "gpt2":
+            bpe = GPT2BPE.from_dir(task_cfg.bpe_dir)
+        else:
+            raise ValueError(f"unknown --bpe={bpe_name!r} (expected 'gpt2' or 'bert')")
         logger.info("dictionary: %d types", len(dictionary))
         return cls(task_cfg, dictionary, bpe)
 
