@@ -86,6 +86,7 @@ class ModelConfig:
     freeze_seg_embedding: bool = True
     freeze_entire_resnet: bool = True
     freeze_resnet: bool = False
+    bitfit: bool = False  # train only LN/FFN biases (train.py:101-107)
     freeze_encoder_transformer: bool = False
     freeze_encoder_transformer_layers: int = 0
 

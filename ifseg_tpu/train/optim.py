@@ -257,6 +257,13 @@ def freeze_mask(params, model_cfg) -> Any:
     def trainable(path) -> bool:
         keys = [getattr(p, "key", str(p)) for p in path]
         joined = "/".join(str(k) for k in keys)
+        if getattr(model_cfg, "bitfit", False):
+            # BitFit: ONLY layer-norm and FFN biases train; overrides every
+            # other freeze flag (reference train.py:101-107 resets
+            # requires_grad on all named parameters).
+            return joined.endswith("bias") and (
+                "layer_norm" in joined or "/fc" in joined
+            )
         if "embed_tokens" in joined and (
             model_cfg.freeze_encoder_embedding or model_cfg.freeze_decoder_embedding
         ):

@@ -193,3 +193,29 @@ def test_supervised_branch_trains():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
     assert "seg_loss" not in t.train_step(batch) or True  # no monitor branch
+
+
+def test_bitfit_mask():
+    """BitFit (train.py:101-107): only LN/FFN biases train; overrides other
+    freeze flags."""
+    from ifseg_tpu.train import optim as optim_lib
+    from ifseg_tpu.models.segofa import SegOFAVariables
+
+    cfg = tiny_config()
+    cfg.model.bitfit = True
+    tokens, lengths = make_class_table(cfg.model.num_seg_tokens)
+    _, params = SegOFAVariables.init(cfg.model, jax.random.PRNGKey(0))
+    mask = optim_lib.freeze_mask(params, cfg.model)
+    flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): bool(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    trainable = {k for k, v in flat.items() if v}
+    assert trainable, "bitfit mask trains nothing"
+    for k in trainable:
+        assert k.endswith("bias") and ("layer_norm" in k or "/fc" in k), k
+    # representative biases are in; kernels and embeddings are out
+    assert any("self_attn_layer_norm/bias" in k for k in trainable)
+    assert any("/fc1/bias" in k for k in trainable)
+    assert not any(k.endswith("kernel") for k in trainable)
+    assert not any("embed_tokens" in k for k in trainable)
