@@ -17,3 +17,4 @@ __all__ = [
     "PrefixConstrainedBeamSearch",
     "SequenceGenerator",
 ]
+from .trie import ConstraintTrie, PackedTrie, trie_advance, trie_token_mask

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ifseg_tpu.generate.search import BeamSearch
+from ifseg_tpu.generate.trie import PackedTrie, trie_advance, trie_token_mask
 from ifseg_tpu.ops.ngram_block import ngram_repeat_mask
 
 NEG_INF = -1e9
@@ -50,6 +51,9 @@ class SequenceGenerator:
         temperature: float = 1.0,
         no_repeat_ngram_size: int = 0,
         search=None,
+        constraint_trie: Optional[PackedTrie] = None,
+        constraint_range: Optional[str] = None,
+        zero_shot: bool = False,
     ):
         self.step_fn = step_fn
         self.vocab_size = vocab_size
@@ -63,6 +67,32 @@ class SequenceGenerator:
         self.temperature = temperature
         self.no_repeat_ngram_size = no_repeat_ngram_size
         self.search = search or BeamSearch()
+        # constrained decoding (sequence_generator.py:130-137, :855-888):
+        # constraint_range="start,end" keeps ids [0,4) U [start,end);
+        # constraint_trie restricts each hypothesis to trie continuations.
+        # zero_shot masks AFTER log_softmax (raw scores over the full vocab);
+        # default masks BEFORE (probabilities renormalize over the allowed set).
+        self.constraint_trie = constraint_trie
+        self.zero_shot = zero_shot
+        self.constraint_start = self.constraint_end = None
+        if constraint_range is not None:
+            start, end = constraint_range.split(",")
+            self.constraint_start, self.constraint_end = int(start), int(end)
+
+    def _constraint_mask(self, nodes_flat) -> Optional[jnp.ndarray]:
+        """(N, V) True = allowed, from range and/or trie constraints."""
+        v = self.vocab_size
+        mask = None
+        if self.constraint_start is not None:
+            ids = jnp.arange(v)
+            mask = (ids < 4) | (
+                (ids >= self.constraint_start) & (ids < self.constraint_end)
+            )
+            mask = jnp.broadcast_to(mask, (nodes_flat.shape[0], v))
+        if self.constraint_trie is not None:
+            tmask = trie_token_mask(self.constraint_trie, nodes_flat, v)
+            mask = tmask if mask is None else (mask & tmask)
+        return mask
 
     def __call__(self, bsz: int, cache: Any, rng=None) -> GeneratorOutput:
         beam, v = self.beam, self.vocab_size
@@ -71,19 +101,33 @@ class SequenceGenerator:
 
         tokens0 = jnp.full((bsz, beam, lmax), self.pad, jnp.int32)
         tokens0 = tokens0.at[:, :, 0].set(self.bos)
+        if self.constraint_trie is not None:
+            # trie sequences are inserted as [bos] + tokens + [eos]
+            # (sequence_generator.py:862 walks "[0] + generated suffix")
+            nodes0 = trie_advance(
+                self.constraint_trie,
+                jnp.zeros((bsz, beam), jnp.int32),
+                jnp.full((bsz, beam), self.bos, jnp.int32),
+            )
+        else:
+            nodes0 = jnp.zeros((bsz, beam), jnp.int32)
         alive_lp0 = jnp.zeros((bsz, beam), jnp.float32)
         fin_seq0 = jnp.full((bsz, beam, lmax), self.pad, jnp.int32)
         fin_scores0 = jnp.full((bsz, beam), -jnp.inf, jnp.float32)
 
         def body(carry, xs):
             step, rng_step = xs
-            tokens, alive_lp, fin_seq, fin_scores, cache = carry
+            tokens, alive_lp, nodes, fin_seq, fin_scores, cache = carry
 
             flat_tokens = tokens.reshape(bsz * beam, lmax)
             logits, new_cache = self.step_fn(flat_tokens, step, cache)
-            lprobs = jax.nn.log_softmax(
-                logits.astype(jnp.float32) / self.temperature, axis=-1
-            )
+            logits = logits.astype(jnp.float32)
+            cmask = self._constraint_mask(nodes.reshape(bsz * beam))
+            if cmask is not None and not self.zero_shot:
+                logits = jnp.where(cmask, logits, NEG_INF)
+            lprobs = jax.nn.log_softmax(logits / self.temperature, axis=-1)
+            if cmask is not None and self.zero_shot:
+                lprobs = jnp.where(cmask, lprobs, -jnp.inf)
             lprobs = lprobs.at[:, self.pad].set(-jnp.inf)
             if self.unk_penalty != 0.0:
                 lprobs = lprobs.at[:, self.unk].add(-self.unk_penalty)
@@ -146,14 +190,29 @@ class SequenceGenerator:
                 else c,
                 new_cache,
             )
-            return (new_tokens, new_alive_lp, new_fin_seq, top_fin, new_cache), None
+            if self.constraint_trie is not None:
+                prev_nodes = jnp.take_along_axis(nodes, sel_beams, axis=1)
+                chosen = new_tokens[:, :, step + 1]
+                new_nodes = trie_advance(self.constraint_trie, prev_nodes, chosen)
+            else:
+                new_nodes = nodes
+            return (
+                new_tokens,
+                new_alive_lp,
+                new_nodes,
+                new_fin_seq,
+                top_fin,
+                new_cache,
+            ), None
 
         steps = jnp.arange(self.max_len + 1)
         rngs = jax.random.split(rng, self.max_len + 1)
         carry, _ = jax.lax.scan(
-            body, (tokens0, alive_lp0, fin_seq0, fin_scores0, cache), (steps, rngs)
+            body,
+            (tokens0, alive_lp0, nodes0, fin_seq0, fin_scores0, cache),
+            (steps, rngs),
         )
-        tokens, alive_lp, fin_seq, fin_scores, _ = carry
+        tokens, alive_lp, _, fin_seq, fin_scores, _ = carry
 
         # any never-finished beams: treat alive as finished at max length
         length = jnp.asarray(self.max_len + 1, jnp.float32)

@@ -116,6 +116,9 @@ def build_generator(
     min_len: int = 1024,
     no_repeat_ngram_size: int = 0,
     use_kv_cache: bool = True,
+    constraint_trie=None,
+    constraint_range=None,
+    zero_shot: bool = False,
 ):
     """Build a beam-search generator over the AR decode path (parity with
     OFATask.build_generator, tasks/ofa_task.py:187-313; the seg eval_args pin
@@ -157,6 +160,9 @@ def build_generator(
             max_len=max_len,
             min_len=min_len,
             no_repeat_ngram_size=no_repeat_ngram_size,
+            constraint_trie=constraint_trie,
+            constraint_range=constraint_range,
+            zero_shot=zero_shot,
         )
         gen.initial_cache = cache0
         return gen
@@ -178,6 +184,9 @@ def build_generator(
         max_len=max_len,
         min_len=min_len,
         no_repeat_ngram_size=no_repeat_ngram_size,
+        constraint_trie=constraint_trie,
+        constraint_range=constraint_range,
+        zero_shot=zero_shot,
     )
 
 
