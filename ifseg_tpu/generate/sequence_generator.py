@@ -28,6 +28,35 @@ from ifseg_tpu.ops.ngram_block import ngram_repeat_mask
 NEG_INF = -1e9
 
 
+def ensemble_step_fn(step_fns, temperature: float = 1.0):
+    """Average an ensemble's next-token distributions in probability space
+    (EnsembleModel, sequence_generator.py:899-900: logsumexp of per-model
+    log-probs minus log(n)).  Each step_fn owns one slot of the cache tuple.
+
+    The reference tempers each model BEFORE normalizing (:851), so pass
+    ``temperature`` here and leave the generator's at 1.0; the generator's
+    final log_softmax is then a no-op on the already-normalized average.
+    """
+    n = len(step_fns)
+    if n == 1:
+        return step_fns[0]
+
+    def step_fn(tokens, step, caches):
+        lps, new_caches = [], []
+        for fn, cache in zip(step_fns, caches):
+            logits, new_cache = fn(tokens, step, cache)
+            lps.append(
+                jax.nn.log_softmax(
+                    logits.astype(jnp.float32) / temperature, axis=-1
+                )
+            )
+            new_caches.append(new_cache)
+        avg = jax.nn.logsumexp(jnp.stack(lps), axis=0) - jnp.log(float(n))
+        return avg, tuple(new_caches)
+
+    return step_fn
+
+
 class GeneratorOutput(NamedTuple):
     tokens: jnp.ndarray  # (bsz, beam, Lmax) best-first, eos-terminated
     scores: jnp.ndarray  # (bsz, beam) length-normalized

@@ -124,10 +124,36 @@ def build_generator(
     OFATask.build_generator, tasks/ofa_task.py:187-313; the seg eval_args pin
     max_len == min_len, run_scripts --eval-args).
 
+    ``params`` may be a list/tuple of parameter pytrees: the generator then
+    averages the models' next-token distributions in probability space
+    (EnsembleModel, models/sequence_generator.py:899-900).
+
     With ``use_kv_cache`` each step attends over cached keys/values (O(L) per
     step, models/ar_cache.py — the incremental_state analog); otherwise the
     step recomputes the causal prefix (Decoder.decode_ar)."""
-    from ifseg_tpu.generate.sequence_generator import SequenceGenerator
+    from ifseg_tpu.generate.sequence_generator import (
+        SequenceGenerator,
+        ensemble_step_fn,
+    )
+
+    if isinstance(params, (list, tuple)) and len(params) > 1:
+        gens = [
+            build_generator(
+                model, p, encoder_out, beam=beam, max_len=max_len,
+                min_len=min_len, no_repeat_ngram_size=no_repeat_ngram_size,
+                use_kv_cache=use_kv_cache, constraint_trie=constraint_trie,
+                constraint_range=constraint_range, zero_shot=zero_shot,
+            )
+            for p in params
+        ]
+        ens = gens[0]
+        ens.step_fn = ensemble_step_fn([g.step_fn for g in gens])
+        ens.initial_cache = tuple(
+            getattr(g, "initial_cache", ()) for g in gens
+        )
+        return ens
+    if isinstance(params, (list, tuple)):
+        params = params[0]
 
     # tile batched encoder outputs across the beam (the generator's step sees
     # bsz*beam rows; EnsembleModel.reorder_encoder_out analog)

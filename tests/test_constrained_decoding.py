@@ -154,3 +154,43 @@ def test_zero_shot_masks_after_normalization():
     assert toks[1] == 5 and toks[2] == EOS
     expect = float(np.log(t[BOS, 5]) + np.log(t[5, EOS]))
     np.testing.assert_allclose(float(out.scores[0, 0]), expect, rtol=1e-5)
+
+
+def test_ensemble_step_fn_averages_probs():
+    """Ensemble decode (EnsembleModel semantics): avg prob space, and a
+    2-model ensemble of identical models == the single model."""
+    from ifseg_tpu.generate.sequence_generator import ensemble_step_fn
+
+    v = 8
+    rng = np.random.default_rng(3)
+    t1 = rng.random((v, v)) + 1e-3
+    t2 = rng.random((v, v)) + 1e-3
+
+    def mk(t):
+        logt = jnp.log(jnp.asarray(t / t.sum(1, keepdims=True), jnp.float32))
+
+        def step_fn(tokens, step, cache):
+            prev = jnp.take_along_axis(
+                tokens, jnp.full((tokens.shape[0], 1), step, jnp.int32), axis=1
+            )[:, 0]
+            return logt[prev], cache
+
+        return step_fn
+
+    ens = ensemble_step_fn([mk(t1), mk(t2)])
+    toks = jnp.zeros((2, 4), jnp.int32)
+    lp, _ = ens(toks, jnp.asarray(0), ((), ()))
+    expect = np.log((t1 / t1.sum(1, keepdims=True) + t2 / t2.sum(1, keepdims=True))[0] / 2)
+    np.testing.assert_allclose(np.asarray(lp[0]), expect, rtol=1e-5)
+
+    # identical models -> identical generation to the single model
+    g1 = SequenceGenerator(mk(t1), v, beam_size=2, max_len=4, min_len=1)
+    o1 = jax.jit(lambda: g1(bsz=1, cache=()))()
+    g2 = SequenceGenerator(
+        ensemble_step_fn([mk(t1), mk(t1)]), v, beam_size=2, max_len=4, min_len=1
+    )
+    o2 = jax.jit(lambda: g2(bsz=1, cache=((), ())))()
+    np.testing.assert_array_equal(np.asarray(o1.tokens), np.asarray(o2.tokens))
+    np.testing.assert_allclose(
+        np.asarray(o1.scores), np.asarray(o2.scores), rtol=1e-5
+    )
