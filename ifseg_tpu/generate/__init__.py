@@ -18,3 +18,4 @@ __all__ = [
     "SequenceGenerator",
 ]
 from .trie import ConstraintTrie, PackedTrie, trie_advance, trie_token_mask
+from .lexical import PackedConstraints, pack_constraints

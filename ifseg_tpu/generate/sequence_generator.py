@@ -21,6 +21,13 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ifseg_tpu.generate.lexical import (
+    PackedConstraints,
+    lexical_advance,
+    lexical_bank,
+    lexical_init,
+    lexical_total,
+)
 from ifseg_tpu.generate.search import BeamSearch
 from ifseg_tpu.generate.trie import PackedTrie, trie_advance, trie_token_mask
 from ifseg_tpu.ops.ngram_block import ngram_repeat_mask
@@ -83,6 +90,7 @@ class SequenceGenerator:
         constraint_trie: Optional[PackedTrie] = None,
         constraint_range: Optional[str] = None,
         zero_shot: bool = False,
+        lexical_constraints: Optional[PackedConstraints] = None,
     ):
         self.step_fn = step_fn
         self.vocab_size = vocab_size
@@ -107,6 +115,11 @@ class SequenceGenerator:
         if constraint_range is not None:
             start, end = constraint_range.split(",")
             self.constraint_start, self.constraint_end = int(start), int(end)
+        # lexically-constrained decoding (fairseq LexicallyConstrainedBeam-
+        # Search / DBA, redesigned static-shape — see generate/lexical.py):
+        # EOS is masked until every constraint phrase has appeared, and half
+        # the beam is selected by (bank, score) to drive phrase completion.
+        self.lexical = lexical_constraints
 
     def _constraint_mask(self, nodes_flat) -> Optional[jnp.ndarray]:
         """(N, V) True = allowed, from range and/or trie constraints."""
@@ -140,13 +153,18 @@ class SequenceGenerator:
             )
         else:
             nodes0 = jnp.zeros((bsz, beam), jnp.int32)
+        prog0 = (
+            lexical_init(self.lexical, beam)
+            if self.lexical is not None
+            else jnp.zeros((bsz, beam, 1), jnp.int32)
+        )
         alive_lp0 = jnp.zeros((bsz, beam), jnp.float32)
         fin_seq0 = jnp.full((bsz, beam, lmax), self.pad, jnp.int32)
         fin_scores0 = jnp.full((bsz, beam), -jnp.inf, jnp.float32)
 
         def body(carry, xs):
             step, rng_step = xs
-            tokens, alive_lp, nodes, fin_seq, fin_scores, cache = carry
+            tokens, alive_lp, nodes, prog, fin_seq, fin_scores, cache = carry
 
             flat_tokens = tokens.reshape(bsz * beam, lmax)
             logits, new_cache = self.step_fn(flat_tokens, step, cache)
@@ -170,6 +188,12 @@ class SequenceGenerator:
             # fairseq step semantics: at scan step s the token at position
             # s+1 is chosen; EOS at step s ends a hypothesis with s tokens
             eos_col = (jnp.arange(v) == self.eos)[None, None, :]
+            if self.lexical is not None:
+                # cannot finish until every constraint phrase has appeared
+                unmet = lexical_bank(self.lexical, prog) < lexical_total(
+                    self.lexical
+                )[:, None]
+                lprobs = jnp.where(unmet[..., None] & eos_col, -jnp.inf, lprobs)
             lprobs = jnp.where((step < self.min_len) & eos_col, -jnp.inf, lprobs)
             lprobs = jnp.where(
                 (step >= self.max_len) & (~eos_col), NEG_INF, lprobs
@@ -178,6 +202,48 @@ class SequenceGenerator:
             cand_scores, cand_indices, cand_beams = self.search.step(
                 step, lprobs, alive_lp, rng_step
             )  # each (bsz, 2*beam)
+
+            if self.lexical is not None:
+                # force each beam's expected-next constraint tokens and its
+                # EOS into the candidate pool — low-probability constraint
+                # tokens never survive the global top-2B cut on their own
+                # (fairseq's DBA likewise always considers constraint tokens)
+                ctoks, clens = self.lexical.tokens, self.lexical.lengths
+                C, L = ctoks.shape[1], ctoks.shape[2]
+                exp_pos = jnp.minimum(prog, L - 1)  # (bsz,beam,C)
+                exp_tok = jnp.take_along_axis(
+                    jnp.broadcast_to(ctoks[:, None], (bsz, beam, C, L)),
+                    exp_pos[..., None],
+                    axis=-1,
+                )[..., 0]
+                inactive = (prog >= clens[:, None, :]) | (clens[:, None, :] == 0)
+                lp_exp = jnp.take_along_axis(
+                    lprobs, exp_tok.clip(0, v - 1), axis=-1
+                )
+                sc_exp = jnp.where(
+                    inactive, -jnp.inf, alive_lp[..., None] + lp_exp
+                ).reshape(bsz, beam * C)
+                beams_exp = jnp.broadcast_to(
+                    jnp.arange(beam)[None, :, None], (bsz, beam, C)
+                ).reshape(bsz, beam * C)
+                sc_eos = alive_lp + lprobs[..., self.eos]  # (bsz,beam)
+                cand_scores = jnp.concatenate(
+                    [cand_scores, sc_exp, sc_eos], axis=1
+                )
+                cand_indices = jnp.concatenate(
+                    [
+                        cand_indices,
+                        exp_tok.clip(0, v - 1).reshape(bsz, beam * C),
+                        jnp.full((bsz, beam), self.eos, jnp.int32),
+                    ],
+                    axis=1,
+                )
+                cand_beams = jnp.concatenate(
+                    [cand_beams, beams_exp, jnp.broadcast_to(
+                        jnp.arange(beam)[None, :], (bsz, beam)
+                    )],
+                    axis=1,
+                )
 
             is_eos = cand_indices == self.eos
             length = jnp.asarray(step + 1, jnp.float32)  # tokens incl. eos slot
@@ -204,7 +270,27 @@ class SequenceGenerator:
 
             # ---- continue: best non-EOS candidates
             alive_cand = jnp.where(is_eos, -jnp.inf, cand_scores)
-            new_alive_lp, alive_idx = jax.lax.top_k(alive_cand, beam)
+            if self.lexical is not None:
+                # DBA-style split: half the beam by score, half by
+                # (bank, score) so constraint completion keeps slots
+                prog_cand = jnp.take_along_axis(
+                    prog, cand_beams[:, :, None].clip(0, beam - 1), axis=1
+                )
+                cand_bank = lexical_bank(
+                    self.lexical,
+                    lexical_advance(self.lexical, prog_cand, cand_indices),
+                ).astype(jnp.float32)
+                k2 = beam // 2
+                k1 = beam - k2
+                _, i1 = jax.lax.top_k(alive_cand, k1)
+                masked = alive_cand.at[
+                    jnp.arange(bsz)[:, None], i1
+                ].set(-jnp.inf)
+                _, i2 = jax.lax.top_k(masked + cand_bank * 1e4, k2)
+                alive_idx = jnp.concatenate([i1, i2], axis=1)
+                new_alive_lp = jnp.take_along_axis(alive_cand, alive_idx, axis=1)
+            else:
+                new_alive_lp, alive_idx = jax.lax.top_k(alive_cand, beam)
             new_tokens = jnp.take_along_axis(
                 cand_seq, alive_idx[:, :, None], axis=1
             )
@@ -225,10 +311,20 @@ class SequenceGenerator:
                 new_nodes = trie_advance(self.constraint_trie, prev_nodes, chosen)
             else:
                 new_nodes = nodes
+            if self.lexical is not None:
+                prev_prog = jnp.take_along_axis(
+                    prog, sel_beams[:, :, None], axis=1
+                )
+                new_prog = lexical_advance(
+                    self.lexical, prev_prog, new_tokens[:, :, step + 1]
+                )
+            else:
+                new_prog = prog
             return (
                 new_tokens,
                 new_alive_lp,
                 new_nodes,
+                new_prog,
                 new_fin_seq,
                 top_fin,
                 new_cache,
@@ -238,10 +334,17 @@ class SequenceGenerator:
         rngs = jax.random.split(rng, self.max_len + 1)
         carry, _ = jax.lax.scan(
             body,
-            (tokens0, alive_lp0, nodes0, fin_seq0, fin_scores0, cache),
+            (tokens0, alive_lp0, nodes0, prog0, fin_seq0, fin_scores0, cache),
             (steps, rngs),
         )
-        tokens, alive_lp, _, fin_seq, fin_scores, _ = carry
+        tokens, alive_lp, _, prog_f, fin_seq, fin_scores, _ = carry
+
+        if self.lexical is not None:
+            # never-finished beams only count if their constraints are met
+            done = lexical_bank(self.lexical, prog_f) >= lexical_total(
+                self.lexical
+            )[:, None]
+            alive_lp = jnp.where(done, alive_lp, -jnp.inf)
 
         # any never-finished beams: treat alive as finished at max length
         length = jnp.asarray(self.max_len + 1, jnp.float32)

@@ -119,6 +119,7 @@ def build_generator(
     constraint_trie=None,
     constraint_range=None,
     zero_shot: bool = False,
+    lexical_constraints=None,
 ):
     """Build a beam-search generator over the AR decode path (parity with
     OFATask.build_generator, tasks/ofa_task.py:187-313; the seg eval_args pin
@@ -143,6 +144,7 @@ def build_generator(
                 min_len=min_len, no_repeat_ngram_size=no_repeat_ngram_size,
                 use_kv_cache=use_kv_cache, constraint_trie=constraint_trie,
                 constraint_range=constraint_range, zero_shot=zero_shot,
+                lexical_constraints=lexical_constraints,
             )
             for p in params
         ]
@@ -189,6 +191,7 @@ def build_generator(
             constraint_trie=constraint_trie,
             constraint_range=constraint_range,
             zero_shot=zero_shot,
+            lexical_constraints=lexical_constraints,
         )
         gen.initial_cache = cache0
         return gen
@@ -213,6 +216,7 @@ def build_generator(
         constraint_trie=constraint_trie,
         constraint_range=constraint_range,
         zero_shot=zero_shot,
+        lexical_constraints=lexical_constraints,
     )
 
 

@@ -194,3 +194,87 @@ def test_ensemble_step_fn_averages_probs():
     np.testing.assert_allclose(
         np.asarray(o1.scores), np.asarray(o2.scores), rtol=1e-5
     )
+
+
+def test_lexical_advance_state():
+    from ifseg_tpu.generate.lexical import (
+        lexical_advance, lexical_bank, lexical_init, pack_constraints,
+    )
+
+    cons = pack_constraints([[[5, 6], [9]]])  # 1 sentence, 2 phrases
+    prog = lexical_init(cons, beam=1)  # (1,1,2)
+    # bank = consumed constraint tokens (partial progress counts, DBA §3)
+    for tok, expect_bank in [(4, 0), (5, 1), (6, 2), (5, 2), (9, 3)]:
+        prog = lexical_advance(cons, prog, jnp.full((1, 1), tok, jnp.int32))
+        assert int(lexical_bank(cons, prog)[0, 0]) == expect_bank, tok
+    # mismatch mid-phrase resets to first-token check
+    prog = lexical_init(cons, beam=1)
+    prog = lexical_advance(cons, prog, jnp.full((1, 1), 5, jnp.int32))
+    prog = lexical_advance(cons, prog, jnp.full((1, 1), 7, jnp.int32))
+    assert int(prog[0, 0, 0]) == 0
+    prog = lexical_advance(cons, prog, jnp.full((1, 1), 5, jnp.int32))
+    assert int(prog[0, 0, 0]) == 1
+
+
+def test_lexically_constrained_generation():
+    """Every finished hypothesis contains all constraint phrases (DBA
+    guarantee), on a fixture that prefers to avoid them."""
+    from ifseg_tpu.generate.lexical import pack_constraints
+
+    v = 12
+    rng = np.random.default_rng(5)
+    t = rng.random((v, v)) + 1e-3
+    t[:, 5] *= 0.05  # the model dislikes constraint tokens
+    t[:, 9] *= 0.05
+    logt = jnp.log(jnp.asarray(t / t.sum(1, keepdims=True), jnp.float32))
+
+    def step_fn(tokens, step, cache):
+        prev = jnp.take_along_axis(
+            tokens, jnp.full((tokens.shape[0], 1), step, jnp.int32), axis=1
+        )[:, 0]
+        return logt[prev], cache
+
+    cons = pack_constraints([[[5, 6], [9]], [[9]]])
+    gen = SequenceGenerator(
+        step_fn, v, beam_size=4, max_len=8, min_len=1,
+        lexical_constraints=cons,
+    )
+    out = jax.jit(lambda: gen(bsz=2, cache=()))()
+    toks = np.asarray(out.tokens)
+    scores = np.asarray(out.scores)
+
+    def contains(seq, phrase):
+        for i in range(len(seq) - len(phrase) + 1):
+            if seq[i : i + len(phrase)] == phrase:
+                return True
+        return False
+
+    best = toks[0, 0].tolist()
+    assert np.isfinite(scores[0, 0])
+    body = best[1 : best.index(EOS)] if EOS in best else best[1:]
+    assert contains(body, [5, 6]) and contains(body, [9]), best
+    best1 = toks[1, 0].tolist()
+    body1 = best1[1 : best1.index(EOS)] if EOS in best1 else best1[1:]
+    assert contains(body1, [9]), best1
+
+
+def test_lexical_none_matches_plain_beam():
+    v = 10
+    rng = np.random.default_rng(6)
+    t = rng.random((v, v)) + 1e-3
+    logt = jnp.log(jnp.asarray(t / t.sum(1, keepdims=True), jnp.float32))
+
+    def step_fn(tokens, step, cache):
+        prev = jnp.take_along_axis(
+            tokens, jnp.full((tokens.shape[0], 1), step, jnp.int32), axis=1
+        )[:, 0]
+        return logt[prev], cache
+
+    g0 = SequenceGenerator(step_fn, v, beam_size=3, max_len=5, min_len=1)
+    o0 = jax.jit(lambda: g0(bsz=2, cache=()))()
+    g1 = SequenceGenerator(
+        step_fn, v, beam_size=3, max_len=5, min_len=1,
+        lexical_constraints=None,
+    )
+    o1 = jax.jit(lambda: g1(bsz=2, cache=()))()
+    np.testing.assert_array_equal(np.asarray(o0.tokens), np.asarray(o1.tokens))
