@@ -245,6 +245,48 @@ def _convert_side(sd: Dict[str, np.ndarray], side: str, tree: Dict[str, Any]):
     return out
 
 
+def prune_layers(
+    params: Dict[str, Any],
+    encoder_layers_to_keep: Optional[str] = None,
+    decoder_layers_to_keep: Optional[str] = None,
+) -> Dict[str, Any]:
+    """LayerDrop pruning (utils/checkpoint_utils.py:692-784): keep only the
+    listed layer indices (comma string, e.g. "0,2,4") on each side and
+    renumber them consecutively, so a shallower model config can load a
+    deeper checkpoint.  Non-layer entries pass through unchanged."""
+
+    def prune_side(side_tree: Dict[str, Any], keep: str) -> Dict[str, Any]:
+        keep_idx = sorted(int(s) for s in keep.split(","))
+        n_layers = sum(1 for k in side_tree if k.startswith("layers_"))
+        bad = [i for i in keep_idx if not 0 <= i < n_layers]
+        if bad:
+            raise ValueError(
+                f"layers-to-keep indices {bad} out of range for a "
+                f"{n_layers}-layer checkpoint"
+            )
+        out = {}
+        for name, sub in side_tree.items():
+            if name.startswith("layers_"):
+                i = int(name[len("layers_"):])
+                if i in keep_idx:
+                    out[f"layers_{keep_idx.index(i)}"] = sub
+            elif name.endswith("rel_pos_table"):
+                # per-layer bias tables are packed (nlayers, ...) at the
+                # side level (encoder.py:80-91) — slice the layer axis
+                assert sub.shape[0] == n_layers, (name, sub.shape)
+                out[name] = sub[np.asarray(keep_idx)]
+            else:
+                out[name] = sub
+        return out
+
+    params = dict(params)
+    if encoder_layers_to_keep and "encoder" in params:
+        params["encoder"] = prune_side(params["encoder"], encoder_layers_to_keep)
+    if decoder_layers_to_keep and "decoder" in params:
+        params["decoder"] = prune_side(params["decoder"], decoder_layers_to_keep)
+    return params
+
+
 def convert_torch_state_dict(
     sd: Dict[str, np.ndarray],
     target_vocab: int,

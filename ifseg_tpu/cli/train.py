@@ -104,8 +104,22 @@ def maybe_restore_pretrained(cfg: Config, trainer: Trainer):
         if path:
             logger.warning("restore file %s not found; training from scratch", path)
         return None
+    def maybe_prune(params):
+        ek = cfg.model.encoder_layers_to_keep
+        dk = cfg.model.decoder_layers_to_keep
+        if ek or dk:
+            from ifseg_tpu.checkpoint.convert import prune_layers
+
+            logger.info(
+                "pruning checkpoint layers (encoder keep=%s, decoder keep=%s)",
+                ek or "all", dk or "all",
+            )
+            params = prune_layers(params, ek or None, dk or None)
+        return params
+
     if path.endswith(".pt"):
         from ifseg_tpu.checkpoint.convert import (
+            _reconcile,
             convert_torch_state_dict,
             load_torch_checkpoint,
         )
@@ -114,14 +128,15 @@ def maybe_restore_pretrained(cfg: Config, trainer: Trainer):
         logger.info("translating torch checkpoint %s", path)
         _, fresh = SegOFAVariables.init(cfg.model, jax.random.PRNGKey(0))
         sd = load_torch_checkpoint(path)
-        return convert_torch_state_dict(
-            sd, cfg.model.vocab_size, reference_params=fresh
-        )
+        # prune BEFORE reconciling so a shallower cfg.model matches the
+        # renumbered layers rather than back-filling them with fresh values
+        tree = convert_torch_state_dict(sd, cfg.model.vocab_size)
+        return _reconcile(maybe_prune(tree), fresh)
     if os.path.isdir(path):  # orbax checkpoint directory (params only)
         from ifseg_tpu.cli.infer import load_params
 
         logger.info("restoring params from orbax checkpoint %s", path)
-        return load_params(path, cfg)
+        return maybe_prune(load_params(path, cfg))
     raise ValueError(f"unsupported restore file {path}")
 
 

@@ -87,6 +87,10 @@ class ModelConfig:
     freeze_entire_resnet: bool = True
     freeze_resnet: bool = False
     bitfit: bool = False  # train only LN/FFN biases (train.py:101-107)
+    # LayerDrop pruning at load (utils/checkpoint_utils.py:692-784):
+    # comma-separated layer indices of the CHECKPOINT to keep, e.g. "0,2,4"
+    encoder_layers_to_keep: str = ""
+    decoder_layers_to_keep: str = ""
     freeze_encoder_transformer: bool = False
     freeze_encoder_transformer_layers: int = 0
 

@@ -221,3 +221,62 @@ def test_conv_layout_matches_torch(fresh):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_prune_layers_renumbers_and_loads():
+    """LayerDrop pruning: '0,2' of a 4-layer model becomes layers 0,1 of a
+    2-layer model, and the pruned tree runs under the shallower config."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ifseg_tpu.checkpoint.convert import prune_layers
+    from ifseg_tpu.config import model_config_for_arch
+    from ifseg_tpu.models.segofa import SegOFAVariables
+
+    kw = dict(
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, decoder_attention_heads=4,
+        resnet_type="resnet50", patch_image_size=32,
+        orig_patch_image_size=32, num_seg_tokens=3, dropout=0.0,
+        encoder_drop_path_rate=0.0, decoder_drop_path_rate=0.0,
+    )
+    deep_cfg = model_config_for_arch(
+        "segofa_tiny", encoder_layers=4, decoder_layers=4, **kw
+    )
+    _, deep = SegOFAVariables.init(deep_cfg, jax.random.PRNGKey(0), image_size=32)
+
+    pruned = prune_layers(
+        deep, encoder_layers_to_keep="0,2", decoder_layers_to_keep="1,3"
+    )
+    assert set(
+        k for k in pruned["encoder"] if k.startswith("layers_")
+    ) == {"layers_0", "layers_1"}
+    # renumbered layer 1 is the deep model's layer 2 (encoder) / 3 (decoder)
+    np.testing.assert_array_equal(
+        pruned["encoder"]["layers_1"]["self_attn"]["q_proj"]["kernel"],
+        deep["encoder"]["layers_2"]["self_attn"]["q_proj"]["kernel"],
+    )
+    np.testing.assert_array_equal(
+        pruned["decoder"]["layers_1"]["self_attn"]["q_proj"]["kernel"],
+        deep["decoder"]["layers_3"]["self_attn"]["q_proj"]["kernel"],
+    )
+
+    shallow_cfg = model_config_for_arch(
+        "segofa_tiny", encoder_layers=2, decoder_layers=2, **kw
+    )
+    shallow_model, ref = SegOFAVariables.init(
+        shallow_cfg, jax.random.PRNGKey(1), image_size=32
+    )
+    jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, pruned, ref)
+    )
+    logits, _ = shallow_model.apply(
+        {"params": pruned},
+        src_tokens=jnp.zeros((1, 8), jnp.int32),
+        patch_images=jnp.zeros((1, 32, 32, 3), jnp.float32),
+        patch_masks=jnp.ones((1,), bool),
+        bos_tokens=jnp.zeros((1, 1), jnp.int32),
+    )
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
