@@ -96,6 +96,8 @@ def flax_to_torch_sd(params, num_layers=2):
             put_linear(f"{base}.fc2", lp["ffn"]["fc2"])
             if "ffn_layernorm" in lp["ffn"]:
                 put_ln(f"{base}.ffn_layernorm", lp["ffn"]["ffn_layernorm"])
+            if "w_resid" in lp:
+                sd[f"{base}.w_resid"] = np.asarray(lp["w_resid"])
 
     # encoder extras
     enc = params["encoder"]
