@@ -116,8 +116,15 @@ def _resnet_paths(torch_name: str) -> Optional[Tuple[Tuple[str, ...], str]]:
     return None
 
 
-def _convert_side(sd: Dict[str, np.ndarray], side: str, tree: Dict[str, Any]):
-    """Convert encoder.* or decoder.* keys into our nested layout."""
+def _convert_side(
+    sd: Dict[str, np.ndarray],
+    side: str,
+    tree: Dict[str, Any],
+    skipped: Optional[list] = None,
+):
+    """Convert encoder.* or decoder.* keys into our nested layout.  Keys with
+    no destination are recorded in ``skipped`` (never silently dropped —
+    a checkpoint carrying e.g. adapter weights must surface them)."""
     prefix = side + "."
     sub: Dict[str, Dict[str, np.ndarray]] = {}
     for k, v in sd.items():
@@ -176,6 +183,21 @@ def _convert_side(sd: Dict[str, np.ndarray], side: str, tree: Dict[str, Any]):
             _map_linear(
                 out, (name,), sub.pop(f"{name}.weight"), sub.pop(f"{name}.bias", None)
             )
+
+    # prefix-tuning prompt encoder (encoder_module.py:989-1027):
+    # <side>_prompt_encoder.{embedding.weight, trans.0.*, trans.2.*}
+    pe_prefix = f"{side}_prompt_encoder."
+    for k in [k for k in list(sub) if k.startswith(pe_prefix)]:
+        v = sub.pop(k)
+        leaf = k[len(pe_prefix):]
+        if leaf == "embedding.weight":
+            _set(out, ("prompt_encoder", "embedding", "embedding"), v)
+        elif leaf in ("trans.0.weight", "trans.2.weight"):
+            dst = "trans_0" if leaf.startswith("trans.0") else "trans_2"
+            _map_linear(out, ("prompt_encoder", dst), v)
+        elif leaf in ("trans.0.bias", "trans.2.bias"):
+            dst = "trans_0" if leaf.startswith("trans.0") else "trans_2"
+            _set(out, ("prompt_encoder", dst, "bias"), v)
 
     if "seg_embed_tokens.weight" in sub:
         out["seg_embed_tokens"] = sub.pop("seg_embed_tokens.weight")
@@ -241,7 +263,22 @@ def _convert_side(sd: Dict[str, np.ndarray], side: str, tree: Dict[str, Any]):
         if rest == "w_resid":
             _set(out, lp + ("w_resid",), v)
             continue
-        # unmatched layer param (e.g. adapters) — skip
+        adm = re.match(r"adapter\.(down_proj|up_proj)\.(weight|bias)", rest)
+        if adm:
+            name, leaf = adm.groups()
+            if leaf == "weight":
+                _map_linear(out, lp + ("adapter", name), v)
+            else:
+                _set(out, lp + ("adapter", name, "bias"), v)
+            continue
+        if skipped is not None:
+            skipped.append(f"{side}.{k}")
+    # anything left in ``sub`` found no destination either (embed_tokens and
+    # version markers are consumed by the caller and are not errors)
+    if skipped is not None:
+        for k in sub:
+            if k not in ("embed_tokens.weight", "version", "output_projection.weight"):
+                skipped.append(f"{side}.{k}")
     return out
 
 
@@ -303,11 +340,20 @@ def convert_torch_state_dict(
     # shared token embedding: encoder's copy wins (they are tied)
     if "encoder.embed_tokens.weight" in sd:
         tree["embed_tokens"] = {"embedding": sd["encoder.embed_tokens.weight"]}
-    _convert_side(sd, "encoder", tree)
-    _convert_side(sd, "decoder", tree)
+    skipped: list = []
+    _convert_side(sd, "encoder", tree, skipped)
+    _convert_side(sd, "decoder", tree, skipped)
     # the torch tree nests embed_tokens under encoder/decoder; ours is shared
     for side in ("encoder", "decoder"):
         tree.get(side, {}).pop("embed_tokens", None)
+    if skipped:
+        logger.warning(
+            "checkpoint conversion skipped %d parameter(s) with no "
+            "destination in the model: %s%s",
+            len(skipped),
+            ", ".join(skipped[:8]),
+            " …" if len(skipped) > 8 else "",
+        )
 
     if reference_params is not None:
         tree = _reconcile(tree, reference_params)

@@ -73,6 +73,21 @@ class ModelConfig:
     patch_image_size: int = 512
     orig_patch_image_size: int = 512
 
+    # adapters + prefix prompt tuning (unify_transformer.py:151-192;
+    # unify_transformer_layer.py:49-94; encoder/decoder PromptEncoder)
+    adapter: bool = False
+    adapter_dim: int = 200
+    encoder_prompt: bool = False
+    encoder_prompt_type: str = "prefix"
+    encoder_prompt_length: int = 100
+    encoder_prompt_projection: bool = False
+    encoder_prompt_dim: int = 0  # 0 -> 2 * encoder_embed_dim (ref default)
+    decoder_prompt: bool = False
+    decoder_prompt_type: str = "prefix"
+    decoder_prompt_length: int = 100
+    decoder_prompt_projection: bool = False
+    decoder_prompt_dim: int = 0
+
     # segmentation head
     num_seg_tokens: int = 150
     decoder_type: str = "surrogate"

@@ -34,12 +34,13 @@ class MultiheadAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        query,  # (B, Lq, D)
-        key=None,  # (B, Lk, Dk) or None for self-attention
+        query,  # (B, Lq, D); grouped cross-attention when B = G * key-batch
+        key=None,  # (Bk, Lk, Dk) or None for self-attention
         bias=None,  # (H, Lq, Lk) or (B, H, Lq, Lk), fp32
-        key_padding_mask=None,  # (B, Lk) bool, True = pad
+        key_padding_mask=None,  # (Bk, Lk) bool, True = pad
         causal: bool = False,
         deterministic: bool = True,
+        prompt_kv=None,  # (2, H, P, head_dim) prefix-tuning KV prepend
     ):
         if key is None:
             key = query
@@ -54,10 +55,47 @@ class MultiheadAttention(nn.Module):
         v = dense("v_proj", self.embed_dim)(key)
 
         b, lq, _ = q.shape
-        lk = k.shape[1]
+        bk, lk = k.shape[:2]
         q = q.reshape(b, lq, self.num_heads, head_dim)
-        k = k.reshape(b, lk, self.num_heads, head_dim)
-        v = v.reshape(b, lk, self.num_heads, head_dim)
+        k = k.reshape(bk, lk, self.num_heads, head_dim)
+        v = v.reshape(bk, lk, self.num_heads, head_dim)
+
+        if bk != b:
+            # grouped cross-attention (unify_multihead_attention.py:159-274):
+            # beam-expanded queries (Bk*G rows) attend shared per-sample K/V
+            # without tiling K/V G-fold — one einsum with a group axis keeps
+            # the K/V HBM footprint at Bk and feeds the MXU a (G*Lq, Lk)
+            # contraction per sample instead of G separate ones
+            return self._grouped_cross(
+                q, k, v, bias, key_padding_mask, b, bk, lq, lk, head_dim,
+                dense, deterministic,
+            )
+
+        if prompt_kv is not None:
+            # prefix tuning (unify_multihead_attention.py:453-459 + encoder/
+            # decoder get_*_prompt): prepend P learned key/value rows; the
+            # additive bias applies to the trailing real keys (ref :464-465,
+            # attn_weights[:, :, -src_len:] += attn_bias), prompt columns are
+            # never masked, and the causal offset (lk - lq) keeps the whole
+            # prefix visible to every query position
+            p = prompt_kv.shape[2]
+            pk = jnp.broadcast_to(
+                prompt_kv[0].transpose(1, 0, 2)[None], (b, p, self.num_heads, head_dim)
+            ).astype(k.dtype)
+            pv = jnp.broadcast_to(
+                prompt_kv[1].transpose(1, 0, 2)[None], (b, p, self.num_heads, head_dim)
+            ).astype(v.dtype)
+            k = jnp.concatenate([pk, k], axis=1)
+            v = jnp.concatenate([pv, v], axis=1)
+            if bias is not None:
+                pad = [(0, 0)] * bias.ndim
+                pad[-1] = (p, 0)
+                bias = jnp.pad(bias, pad)
+            if key_padding_mask is not None:
+                key_padding_mask = jnp.concatenate(
+                    [jnp.zeros((b, p), bool), key_padding_mask], axis=1
+                )
+            lk = lk + p
 
         flash_ok = (
             self.use_flash
@@ -102,5 +140,38 @@ class MultiheadAttention(nn.Module):
                 "c_attn", nn.initializers.ones, (self.num_heads,), jnp.float32
             )
             out = out * c_attn[None, None, :, None].astype(out.dtype)
+        out = out.reshape(b, lq, self.embed_dim)
+        return dense("out_proj", self.embed_dim)(out)
+
+    def _grouped_cross(
+        self, q, k, v, bias, key_padding_mask, b, bk, lq, lk, head_dim,
+        dense, deterministic,
+    ):
+        g = b // bk
+        assert bk * g == b, f"query batch {b} not a multiple of key batch {bk}"
+        qg = q.reshape(bk, g, lq, self.num_heads, head_dim)
+        logits = jnp.einsum(
+            "bgqhd,bkhd->bghqk", qg, k, preferred_element_type=jnp.float32
+        )
+        if bias is not None:
+            if bias.ndim == 3:  # (H, Lq, Lk)
+                logits = logits + bias[None, None].astype(jnp.float32)
+            else:  # (B, H, Lq, Lk) — beam-major rows
+                logits = logits + bias.reshape(
+                    bk, g, self.num_heads, lq, lk
+                ).astype(jnp.float32)
+        if key_padding_mask is not None:
+            logits = jnp.where(
+                key_padding_mask[:, None, None, None, :], NEG_INF, logits
+            )
+        probs = nn.softmax(logits, axis=-1).astype(self.dtype)
+        if self.dropout > 0.0:
+            probs = nn.Dropout(rate=self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bghqk,bkhd->bgqhd", probs, v)
+        if self.scale_heads:
+            c_attn = self.param(
+                "c_attn", nn.initializers.ones, (self.num_heads,), jnp.float32
+            )
+            out = out * c_attn[None, None, None, :, None].astype(out.dtype)
         out = out.reshape(b, lq, self.embed_dim)
         return dense("out_proj", self.embed_dim)(out)

@@ -108,12 +108,33 @@ class Decoder(nn.Module):
                 drop_path_rate=float(dpr[i]),
                 dtype=cfg_dtype(cfg),
                 use_flash=_flash_enabled(cfg),
+                use_adapter=cfg.adapter,
+                adapter_dim=cfg.adapter_dim,
                 name=f"layers_{i}",
             )
             for i in range(nlayers)
         ]
         self.layer_norm = ln()
         self.dropout_layer = nn.Dropout(rate=cfg.dropout)
+        if cfg.decoder_prompt:
+            from .layers import PromptEncoder
+
+            self.prompt_encoder = PromptEncoder(
+                length=cfg.decoder_prompt_length,
+                embed_dim=d,
+                num_layers=nlayers,
+                num_heads=heads,
+                projection=cfg.decoder_prompt_projection,
+                proj_dim=cfg.decoder_prompt_dim,
+                name="prompt_encoder",
+            )
+
+    def _prompt_kv_all(self, deterministic: bool):
+        """(layers, 2, H, P, dh) decoder prefix KV or None
+        (decoder_module.py:501-510)."""
+        if self.cfg.decoder_prompt and self.cfg.decoder_prompt_type == "prefix":
+            return self.prompt_encoder(deterministic)
+        return None
 
     def _pos_scaling(self) -> float:
         cfg = self.cfg
@@ -221,6 +242,7 @@ class Decoder(nn.Module):
 
         enc_pad = encoder_out["encoder_padding_mask"]
         seg_all = gather_rel_bias_all_layers(self.seg_rel_pos_table, seg_bucket)
+        prompt_all = self._prompt_kv_all(deterministic)
         for i, layer in enumerate(self.layers):
             seg_b = seg_all[i]
             if valid_hw is None:
@@ -230,6 +252,7 @@ class Decoder(nn.Module):
             x = layer(
                 x, enc, enc_pad, self_bias0 + seg_b, cross_bias,
                 self_padding_mask, not full_context_alignment, deterministic,
+                prompt_all[i] if prompt_all is not None else None,
             )
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         if features_only:
@@ -337,10 +360,12 @@ class Decoder(nn.Module):
 
         enc = encoder_out["encoder_out"]
         enc_pad = encoder_out["encoder_padding_mask"]
+        prompt_all = self._prompt_kv_all(deterministic)
         for i, layer in enumerate(self.layers):
             x = layer(
                 x, enc, enc_pad, self_bias0 + tok_all[i], cross_bias,
                 None, True, deterministic,
+                prompt_all[i] if prompt_all is not None else None,
             )
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         return self.output_layer(x)

@@ -114,12 +114,26 @@ class Encoder(nn.Module):
                 drop_path_rate=float(dpr[i]),
                 dtype=cfg_dtype(cfg),
                 use_flash=_flash_enabled(cfg),
+                use_adapter=cfg.adapter,
+                adapter_dim=cfg.adapter_dim,
                 name=f"layers_{i}",
             )
             for i in range(nlayers)
         ]
         self.layer_norm = ln()
         self.dropout_layer = nn.Dropout(rate=cfg.dropout)
+        if cfg.encoder_prompt:
+            from .layers import PromptEncoder
+
+            self.prompt_encoder = PromptEncoder(
+                length=cfg.encoder_prompt_length,
+                embed_dim=d,
+                num_layers=nlayers,
+                num_heads=heads,
+                projection=cfg.encoder_prompt_projection,
+                proj_dim=cfg.encoder_prompt_dim,
+                name="prompt_encoder",
+            )
 
     # ------------------------------------------------------------------ utils
 
@@ -197,6 +211,12 @@ class Encoder(nn.Module):
         l_total = x.shape[1]
         hw = image_hw[0] * image_hw[1]
 
+        prompt_all = None
+        if cfg.encoder_prompt and cfg.encoder_prompt_type == "prefix":
+            # (layers, 2, H, P, dh) prefix KV, batch-independent
+            # (encoder_module.py:510-521)
+            prompt_all = self.prompt_encoder(deterministic)
+
         bias0 = self._abs_bias(pos_embed_all)  # (H, L, L)
 
         token_bucket = make_token_bucket_position(cfg.token_bucket_size)[
@@ -221,7 +241,10 @@ class Encoder(nn.Module):
             bias = bias0
             bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)
             bias = bias.at[:, :hw, :hw].add(img_b)
-            x = layer(x, padding_mask, bias, deterministic)
+            x = layer(
+                x, padding_mask, bias, deterministic,
+                prompt_all[i] if prompt_all is not None else None,
+            )
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         return x
 

@@ -39,6 +39,71 @@ def _ln(name):
     return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
 
 
+class Adapter(nn.Module):
+    """Bottleneck adapter (unify_transformer_layer.py:49-94 Adapter_Layer):
+    x + up_proj(relu(down_proj(x))), applied to the FFN output before the
+    residual add.  BERT-style init (N(0, 0.02) kernels, zero bias)."""
+
+    embed_dim: int
+    down_size: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        init = nn.initializers.normal(stddev=0.02)
+        down = nn.Dense(
+            self.down_size, kernel_init=init, dtype=self.dtype,
+            param_dtype=jnp.float32, name="down_proj",
+        )(x)
+        down = nn.relu(down)
+        if self.dropout > 0.0:
+            down = nn.Dropout(self.dropout)(down, deterministic=deterministic)
+        up = nn.Dense(
+            self.embed_dim, kernel_init=init, dtype=self.dtype,
+            param_dtype=jnp.float32, name="up_proj",
+        )(down)
+        return x + up
+
+
+class PromptEncoder(nn.Module):
+    """Prefix-tuning prompt generator (encoder_module.py:989-1027 +
+    get_encoder_prompt :374-386): a learned table of per-layer key/value
+    prefixes.  The reference expands identical ``arange(P)`` prompt ids across
+    the batch; the prefix is therefore batch-independent, computed once as
+    (layers, 2, heads, P, head_dim) and broadcast inside attention."""
+
+    length: int
+    embed_dim: int
+    num_layers: int
+    num_heads: int
+    projection: bool = False
+    proj_dim: int = 0  # 0 -> 2 * embed_dim
+    dropout: float = 0.2  # ref encoder_dropout p=0.2 on past_key_values
+
+    @nn.compact
+    def __call__(self, deterministic: bool = True):
+        ids = jnp.arange(self.length)
+        out_dim = self.num_layers * 2 * self.embed_dim
+        if self.projection:
+            x = nn.Embed(self.length, self.embed_dim, param_dtype=jnp.float32,
+                         name="embedding")(ids)
+            proj = self.proj_dim or 2 * self.embed_dim
+            x = nn.Dense(proj, param_dtype=jnp.float32, name="trans_0")(x)
+            x = nn.relu(x)
+            x = nn.Dense(out_dim, param_dtype=jnp.float32, name="trans_2")(x)
+        else:
+            x = nn.Embed(self.length, out_dim, param_dtype=jnp.float32,
+                         name="embedding")(ids)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        head_dim = self.embed_dim // self.num_heads
+        x = x.reshape(self.length, self.num_layers * 2, self.num_heads, head_dim)
+        # (P, 2L, H, dh) -> (2L, H, P, dh) -> (L, 2, H, P, dh)
+        x = x.transpose(1, 2, 0, 3)
+        return x.reshape(self.num_layers, 2, self.num_heads, self.length, head_dim)
+
+
 class FeedForward(nn.Module):
     embed_dim: int
     ffn_dim: int
@@ -84,9 +149,12 @@ class EncoderLayer(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_adapter: bool = False
+    adapter_dim: int = 200
 
     @nn.compact
-    def __call__(self, x, padding_mask=None, self_attn_bias=None, deterministic=True):
+    def __call__(self, x, padding_mask=None, self_attn_bias=None, deterministic=True,
+                 prompt_kv=None):
         residual = x
         y = _ln("self_attn_layer_norm")(x).astype(self.dtype)
         y = MultiheadAttention(
@@ -98,7 +166,8 @@ class EncoderLayer(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="self_attn",
-        )(y, bias=self_attn_bias, key_padding_mask=padding_mask, deterministic=deterministic)
+        )(y, bias=self_attn_bias, key_padding_mask=padding_mask,
+          deterministic=deterministic, prompt_kv=prompt_kv)
         if self.scale_attn:
             y = _ln("attn_ln")(y).astype(self.dtype)
         if self.dropout > 0.0:
@@ -111,6 +180,10 @@ class EncoderLayer(nn.Module):
             self.embed_dim, self.ffn_dim, self.activation_fn, self.dropout,
             self.activation_dropout, self.scale_fc, self.dtype, name="ffn",
         )(y, deterministic)
+        if self.use_adapter:
+            y = Adapter(
+                self.embed_dim, self.adapter_dim, dtype=self.dtype, name="adapter"
+            )(y, deterministic)
         if self.scale_resids:
             w_resid = self.param("w_resid", nn.initializers.ones, (self.embed_dim,), jnp.float32)
             residual = residual * w_resid.astype(residual.dtype)
@@ -134,6 +207,8 @@ class DecoderLayer(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_adapter: bool = False
+    adapter_dim: int = 200
 
     @nn.compact
     def __call__(
@@ -146,6 +221,7 @@ class DecoderLayer(nn.Module):
         self_padding_mask=None,
         causal: bool = True,
         deterministic: bool = True,
+        prompt_kv=None,
     ):
         residual = x
         y = _ln("self_attn_layer_norm")(x).astype(self.dtype)
@@ -164,6 +240,7 @@ class DecoderLayer(nn.Module):
             key_padding_mask=self_padding_mask,
             causal=causal,
             deterministic=deterministic,
+            prompt_kv=prompt_kv,
         )
         if self.scale_attn:
             y = _ln("self_attn_ln")(y).astype(self.dtype)
@@ -202,6 +279,10 @@ class DecoderLayer(nn.Module):
             self.embed_dim, self.ffn_dim, self.activation_fn, self.dropout,
             self.activation_dropout, self.scale_fc, self.dtype, name="ffn",
         )(y, deterministic)
+        if self.use_adapter:
+            y = Adapter(
+                self.embed_dim, self.adapter_dim, dtype=self.dtype, name="adapter"
+            )(y, deterministic)
         if self.scale_resids:
             w_resid = self.param("w_resid", nn.initializers.ones, (self.embed_dim,), jnp.float32)
             residual = residual * w_resid.astype(residual.dtype)

@@ -62,7 +62,21 @@ def initialize_distributed(coordinator_address=None, num_processes=1, process_id
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
-    """Rows this process contributes: the data axes sharded over local devices."""
+    """Rows this process loads from disk per step.
+
+    Under the single-controller model each process feeds an equal contiguous
+    slice of the global batch and the global array is assembled against the
+    batch NamedSharding (each process's rows land on its addressable
+    devices).  That requires the global batch to split evenly both across
+    data-parallel shards (so the sharding is valid) and across processes (so
+    the host slices are equal) — e.g. global_batch=8 on 2 hosts with
+    dp_total=4 gives 4 rows/host, 2 rows/device."""
     dp_total = mesh.shape["data"] * mesh.shape["fsdp"]
-    assert global_batch % dp_total == 0
-    return global_batch // jax.process_count()
+    nproc = jax.process_count()
+    assert global_batch % dp_total == 0, (
+        f"global batch {global_batch} not divisible by dp*fsdp={dp_total}"
+    )
+    assert global_batch % nproc == 0, (
+        f"global batch {global_batch} not divisible by process count {nproc}"
+    )
+    return global_batch // nproc

@@ -254,6 +254,10 @@ def freeze_mask(params, model_cfg) -> Any:
       stays trainable (encoder_module.py:283-295 freezes resnet only)
     - FrozenBN statistics are always frozen (frozen_bn.py)
     """
+    prompt_tuning = getattr(model_cfg, "encoder_prompt", False) or getattr(
+        model_cfg, "decoder_prompt", False
+    )
+
     def trainable(path) -> bool:
         keys = [getattr(p, "key", str(p)) for p in path]
         joined = "/".join(str(k) for k in keys)
@@ -264,6 +268,18 @@ def freeze_mask(params, model_cfg) -> Any:
             return joined.endswith("bias") and (
                 "layer_norm" in joined or "/fc" in joined
             )
+        if prompt_tuning:
+            # prefix tuning freezes the whole model except the prompt
+            # encoders (and adapters when enabled)
+            # (unify_transformer.py:378-390)
+            if "prompt_encoder" in joined:
+                return True
+            if getattr(model_cfg, "adapter", False) and "/adapter/" in joined:
+                return True
+            return False
+        if getattr(model_cfg, "adapter", False) and "embed_tokens" in joined:
+            # adapters freeze the shared embeddings (unify_transformer.py:366-371)
+            return False
         if "embed_tokens" in joined and (
             model_cfg.freeze_encoder_embedding or model_cfg.freeze_decoder_embedding
         ):
