@@ -40,8 +40,13 @@ class CheckpointManager:
     def _load_manifest(self) -> Dict[str, Any]:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as fp:
-                return json.load(fp)
-        return {"best": None, "best_metric": None, "epochs": [], "bests": []}
+                m = json.load(fp)
+                m.setdefault("intervals", [])
+                return m
+        return {
+            "best": None, "best_metric": None, "epochs": [], "bests": [],
+            "intervals": [],
+        }
 
     def _write_manifest(self):
         if jax.process_index() == 0:
@@ -61,17 +66,35 @@ class CheckpointManager:
         state,  # TrainState
         extra: Optional[Dict[str, Any]] = None,  # metrics / iterator states
         val_metric: Optional[float] = None,
+        updates: Optional[int] = None,  # mid-epoch save at this update count
     ) -> None:
         cfg = self.cfg
         if cfg.no_save:
             return
-        name = f"checkpoint_{epoch}"
+        if updates is not None:
+            # --save-interval-updates checkpoint (checkpoint_{epoch}_{upd}.pt
+            # in the reference, utils/checkpoint_utils.py:59-70)
+            name = f"checkpoint_{epoch}_{updates}"
+        else:
+            name = f"checkpoint_{epoch}"
         tree = {"state": jax.device_get(state)}
         self._ckptr.save(self._path(name), tree, force=True)
         self._ckptr.wait_until_finished()
         if extra is not None and jax.process_index() == 0:
             with open(self._path(name) + ".extra.json", "w") as fp:
                 json.dump(_jsonable(extra), fp)
+
+        if updates is not None:
+            self.manifest["intervals"].append({"name": name, "updates": updates})
+            self.manifest["last"] = name
+            keep = cfg.keep_interval_updates
+            if keep and keep > 0:
+                for old in self.manifest["intervals"][:-keep]:
+                    self._remove(old["name"])
+                self.manifest["intervals"] = self.manifest["intervals"][-keep:]
+            self._write_manifest()
+            logger.info("saved %s (mid-epoch)", name)
+            return
 
         self.manifest["epochs"].append({"epoch": epoch, "name": name})
         self.manifest["last"] = name
@@ -111,12 +134,17 @@ class CheckpointManager:
                 keep.add(e["name"])
         for e in list(self.manifest["epochs"]):
             if e["name"] not in keep:
-                path = self._path(e["name"])
-                if os.path.isdir(path) and jax.process_index() == 0:
-                    shutil.rmtree(path, ignore_errors=True)
-                    if os.path.exists(path + ".extra.json"):
-                        os.remove(path + ".extra.json")
+                self._remove(e["name"])
                 self.manifest["epochs"].remove(e)
+
+    def _remove(self, name: str) -> None:
+        if self.manifest.get("last") == name or self.manifest.get("best") == name:
+            return
+        path = self._path(name)
+        if os.path.isdir(path) and jax.process_index() == 0:
+            shutil.rmtree(path, ignore_errors=True)
+            if os.path.exists(path + ".extra.json"):
+                os.remove(path + ".extra.json")
 
     # ------------------------------------------------------------------- load
 

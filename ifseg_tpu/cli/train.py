@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from ifseg_tpu.config import Config, from_flags
-from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh, initialize_distributed
+from ifseg_tpu.parallel.mesh import mesh_from_config, initialize_distributed
 from ifseg_tpu.tasks.segmentation import SegmentationTask
 from ifseg_tpu.train.trainer import Trainer
 from ifseg_tpu.utils import metrics as metrics_lib
@@ -43,13 +43,9 @@ def main(cfg: Config) -> None:
         cfg.distributed.num_processes,
         cfg.distributed.process_id,
     )
-    mesh = build_mesh(
-        MeshConfig(
-            data_parallel=cfg.distributed.data_parallel,
-            fsdp=cfg.distributed.fsdp,
-            tensor_parallel=cfg.distributed.tensor_parallel,
-        )
-    )
+    # the 'model' axis serves TP / PP / CP / EP per the distributed flags
+    # (parallel/mesh.py model_axis_size)
+    mesh = mesh_from_config(cfg.distributed)
     logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
     task = SegmentationTask.setup_task(cfg)
@@ -78,11 +74,14 @@ def main(cfg: Config) -> None:
     from ifseg_tpu.eval.evaluator import Evaluator
 
     ckpt = CheckpointManager(cfg.checkpoint)
-    start_epoch = restore_training_state(cfg, trainer, ckpt)
+    start_epoch, resume_iter = restore_training_state(cfg, trainer, ckpt)
     evaluator = Evaluator(cfg, trainer.model, trainer.mesh)
 
     for epoch in range(start_epoch, cfg.optimization.max_epoch + 1):
-        train_epoch(cfg, task, trainer, epoch)
+        train_epoch(
+            cfg, task, trainer, epoch, ckpt=ckpt,
+            resume_iter=resume_iter if epoch == start_epoch else None,
+        )
         val = validate(cfg, task, trainer, epoch, evaluator)
         metric = val.get(cfg.checkpoint.best_checkpoint_metric)
         if epoch % cfg.checkpoint.save_interval == 0:
@@ -140,10 +139,13 @@ def maybe_restore_pretrained(cfg: Config, trainer: Trainer):
     raise ValueError(f"unsupported restore file {path}")
 
 
-def restore_training_state(cfg, trainer, ckpt) -> int:
+def restore_training_state(cfg, trainer, ckpt):
+    """-> (start_epoch, resume_iter_state or None).  A mid-epoch checkpoint
+    (--save-interval-updates) carries the train-iterator cursor in its extra
+    and resumes INSIDE its epoch (ref trainer.py:383-442 itr_state)."""
     last = ckpt.latest()
     if last is None or cfg.checkpoint.reset_dataloader and cfg.checkpoint.reset_optimizer:
-        return 1
+        return 1, None
     if last is not None and not cfg.checkpoint.reset_optimizer:
         trainer.state = ckpt.load(last, trainer.state)
         extra = ckpt.load_extra(last)
@@ -152,11 +154,19 @@ def restore_training_state(cfg, trainer, ckpt) -> int:
                 metrics_lib.load_state_dict(extra["metrics"])
             except Exception:
                 logger.warning("could not restore metrics state; resetting")
-        return int(extra.get("epoch", 0)) + 1
-    return 1
+        it_state = extra.get("iterator")
+        if it_state and not cfg.checkpoint.reset_dataloader:
+            epoch = int(extra.get("epoch", 1))
+            logger.info(
+                "resuming mid-epoch: epoch %d, %d iterations consumed",
+                epoch, it_state.get("iterations_in_epoch", 0),
+            )
+            return epoch, it_state
+        return int(extra.get("epoch", 0)) + 1, None
+    return 1, None
 
 
-def train_epoch(cfg, task, trainer, epoch: int) -> None:
+def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> None:
     if epoch > 1:
         task.load_dataset("train", epoch=epoch)
     itr = task.get_batch_iterator(
@@ -165,10 +175,19 @@ def train_epoch(cfg, task, trainer, epoch: int) -> None:
         seed=cfg.optimization.seed,
         epoch=epoch,
     )
+    base_iter = 0
+    if resume_iter:
+        itr.load_state_dict(resume_iter)
+        base_iter = itr.iterations_in_epoch
     from ifseg_tpu.utils.profiling import StepTimer, span
-    from ifseg_tpu.utils.reliability import Heartbeat
+    from ifseg_tpu.utils.reliability import (
+        Heartbeat,
+        check_grad_norms,
+        check_param_sync,
+    )
 
     logs_buffer = []
+    consecutive_nonfinite = 0
     timer = StepTimer()
     heartbeat = Heartbeat(timeout=float(os.environ.get("IFSEG_HEARTBEAT", "600"))).start()
     with metrics_lib.aggregate(f"train_epoch") as agg:
@@ -199,13 +218,64 @@ def train_epoch(cfg, task, trainer, epoch: int) -> None:
             with timer, span(f"train_step-{i}"):
                 logs = trainer.train_step(current)
             heartbeat.beat()
+            siu = cfg.checkpoint.save_interval_updates
+            if ckpt is not None and siu > 0 and trainer.get_num_updates() % siu == 0:
+                # mid-epoch checkpoint with the iterator cursor: i+1 batches
+                # of THIS session consumed, plus any restored offset (the
+                # device prefetch reads one batch ahead, so itr's own count
+                # would over-report by one)
+                ckpt.save(
+                    epoch,
+                    trainer.state,
+                    extra={
+                        "epoch": epoch,
+                        "iterator": {
+                            "epoch": epoch,
+                            "iterations_in_epoch": base_iter + i + 1,
+                            "seed": cfg.optimization.seed,
+                        },
+                        "metrics": metrics_lib.state_dict(),
+                    },
+                    updates=trainer.get_num_updates(),
+                )
             # keep logs as device arrays: a device_get here would sync every
             # step and serialize upload -> compute -> readback
             logs_buffer.append(logs)
             if (i + 1) % cfg.common.log_interval == 0:
-                task.reduce_metrics([jax.device_get(l) for l in logs_buffer])
+                host_logs = [jax.device_get(l) for l in logs_buffer]
+                task.reduce_metrics(host_logs)
                 logs_buffer.clear()
                 progress.log(agg.get_smoothed_values(), step=trainer.get_num_updates())
+                # sanitizers at log cadence (the reference runs its grad-norm
+                # cross-rank check every step, trainer.py:1408-1445; here the
+                # in-step NaN-skip handles recovery and these catch desync /
+                # persistent divergence as hard errors)
+                nonfinite = sum(float(l.get("n_nonfinite", 0)) for l in host_logs)
+                if nonfinite >= len(host_logs):
+                    consecutive_nonfinite += int(nonfinite)
+                else:
+                    consecutive_nonfinite = 0
+                if (
+                    cfg.common.max_consecutive_nonfinite > 0
+                    and consecutive_nonfinite >= cfg.common.max_consecutive_nonfinite
+                ):
+                    raise FloatingPointError(
+                        f"gradients non-finite for {consecutive_nonfinite} "
+                        "consecutive updates — aborting (NanDetector analog)"
+                    )
+                if cfg.common.check_grad_consistency and not check_grad_norms(
+                    float(host_logs[-1]["gnorm"])
+                ):
+                    raise RuntimeError(
+                        "grad norms inconsistent across hosts — replicas "
+                        "desynced (trainer.py:1408-1445 analog)"
+                    )
+                psi = cfg.common.check_param_sync_interval
+                if psi > 0 and trainer.get_num_updates() % psi == 0:
+                    if not check_param_sync(trainer.state.params):
+                        raise RuntimeError(
+                            "parameter fingerprints diverged across hosts"
+                        )
         if logs_buffer:
             task.reduce_metrics([jax.device_get(l) for l in logs_buffer])
         progress.print(agg.get_smoothed_values(), tag="train", step=trainer.get_num_updates())
@@ -221,13 +291,14 @@ def validate(cfg, task, trainer, epoch: int, evaluator) -> dict:
     metrics_lib.reset_meters("valid")
     with metrics_lib.aggregate("valid", new_root=True) as agg:
         t0 = time.time()
-        n = 0
-        logs = []
-        for i in range(len(ds)):
-            sample = ds.get_eval_sample(i)
-            out = evaluator.eval_sample(trainer.state.params, sample)
-            logs.append(out)
-            n += 1
+        n = len(ds)
+        # batched + pipelined: same-shape samples share one padded forward
+        # (--batch-size-valid), host prep overlaps device compute, and the
+        # device->host readback happens once at the end
+        logs = evaluator.eval_dataset(
+            trainer.state.params, ds,
+            batch_size=max(cfg.optimization.batch_size_valid, 1),
+        )
         # each process evaluated its row shard; sum areas across hosts
         # (reference fast-stat-sync, trainer.py:1368-1407)
         if logs and jax.process_count() > 1:

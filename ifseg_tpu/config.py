@@ -221,6 +221,11 @@ class CriterionConfig:
     resnet_iters: int = 0
     ignore_eos: bool = True
     sentence_avg: bool = False
+    # the reference runs an inference-mode forward on the real batch every
+    # step purely for monitoring metrics (seg_criterion.py:184-186).  It
+    # costs a full model forward (~30% of the step); turn it off to train
+    # faster with identical learning dynamics.
+    monitor_real_batch: bool = True
 
 
 @dataclass
@@ -256,9 +261,15 @@ class CheckpointConfig:
     reset_dataloader: bool = False
     reset_meters: bool = False
     save_interval: int = 1
+    # mid-epoch checkpointing every N updates, 0 = off; the train-iterator
+    # cursor is persisted so resume continues inside the epoch
+    # (ref utils/checkpoint_utils.py:35-120, trainer.py:383-442)
+    save_interval_updates: int = 0
     validate_interval: int = 1
     keep_last_epochs: int = 1
     keep_best_checkpoints: int = 1
+    # rotation for --save-interval-updates checkpoints (-1 = keep all)
+    keep_interval_updates: int = -1
     best_checkpoint_metric: str = "mIoU"
     maximize_best_checkpoint_metric: bool = True
     no_save: bool = False
@@ -266,11 +277,30 @@ class CheckpointConfig:
 
 @dataclass
 class DistributedConfig:
-    """Mesh layout. data*fsdp*tensor must equal the device count."""
+    """Mesh layout: data * fsdp * model axes over the device count.
+
+    The 'model' axis is shared by the model-parallel strategies (the
+    reference likewise reuses one model-parallel group for TP/PP/EP,
+    distributed/utils.py:491-508): its size is max(tensor_parallel,
+    pipeline_parallel, context_parallel, moe_experts), and at most one of
+    them may exceed 1 per run."""
 
     data_parallel: int = -1  # -1: all remaining devices
     tensor_parallel: int = 1
     fsdp: int = 1
+    # GPipe over the encoder/decoder layer stacks (parallel/pipeline.py;
+    # ref model_parallel/models/pipeline_parallel_transformer/model.py:316-319)
+    pipeline_parallel: int = 1
+    # microbatches per pipeline step (ref --pipeline-chunks)
+    pipeline_chunks: int = 0  # 0 -> pipeline_parallel
+    # ring attention over the image-token axis (parallel/context.py; fresh
+    # design, SURVEY §5 long-context)
+    context_parallel: int = 1
+    # BASE-layer MoE: one expert per 'model'-axis device (parallel/moe.py;
+    # ref modules/base_layer.py:14-29)
+    moe_experts: int = 0
+    moe_freq: int = 2  # every k-th layer's FFN becomes a MoE layer
+    moe_assignment: str = "sinkhorn"  # or 'auction' (C++ parity)
     # ZeRO-1: shard optimizer state over the data axis while params stay
     # replicated (reference optim/shard.py via fairscale OSS, trainer.py:345)
     zero1: bool = False
@@ -289,6 +319,15 @@ class CommonConfig:
     profile: bool = False
     ema_decay: float = 0.0  # 0 disables EMA
     ema_fp32: bool = False
+    # reliability sanitizers (utils/reliability.py; ref trainer.py:1408-1445):
+    # cross-host grad-norm consistency at log_interval cadence — the de-facto
+    # replica-desync detector; aborts the run on mismatch
+    check_grad_consistency: bool = True
+    # cross-host parameter-fingerprint check every N updates (0 = off)
+    check_param_sync_interval: int = 0
+    # abort after this many CONSECUTIVE non-finite-grad skipped updates
+    # (the NanDetector escalation analog, ref trainer.py:918-934)
+    max_consecutive_nonfinite: int = 10
 
 
 @dataclass

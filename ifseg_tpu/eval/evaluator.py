@@ -67,6 +67,11 @@ class Evaluator:
     # ---------------------------------------------------------- compiled core
 
     def _make_fn(self, img_hw: Tuple[int, int], ori_hw: Tuple[int, int]):
+        """One compiled function per (image-bucket, target-bucket); batch-
+        general — samples sharing the same EXACT resized/original shape run
+        as one padded batch (all positional-interp scalars are shared, so the
+        per-layer biases stay batch-independent).  ``row_valid`` masks
+        replicated padding rows out of the area/CE sums."""
         cfg = self.cfg
         num_seg = cfg.model.num_seg_tokens
         crit = cfg.criterion
@@ -74,7 +79,9 @@ class Evaluator:
         assert Ho % ROW_CHUNK == 0
         chunks = Ho // ROW_CHUNK
 
-        def fn(params, src_tokens, image, img_h, img_w, bos, target, ori_h, ori_w):
+        def fn(params, src_tokens, image, img_h, img_w, bos, target,
+               ori_h, ori_w, row_valid):
+            b = image.shape[0]
             logits, enc = self.model.apply(
                 {"params": params},
                 src_tokens,
@@ -89,7 +96,7 @@ class Evaluator:
             hp, wp = enc["valid_hw"]
             hw = Hp * Wp
             c = logits.shape[-1]
-            grid = logits[:, :hw].reshape(1, Hp, Wp, c).astype(jnp.float32)
+            grid = logits[:, :hw].reshape(b, Hp, Wp, c).astype(jnp.float32)
 
             post_grid = None
             if crit.resnet_iters > 0:
@@ -105,7 +112,7 @@ class Evaluator:
                     crit.resnet_topk,
                     crit.resnet_iters,
                 )
-                post_grid = post.reshape(1, Hp, Wp, c)
+                post_grid = post.reshape(b, Hp, Wp, c)
 
             # dynamic-valid upsample matrices: valid (hp, wp) grid -> original
             uh = bilinear_matrix_dyn(Hp, Ho, ori_h, in_valid=hp)
@@ -114,6 +121,7 @@ class Evaluator:
             cc = jnp.arange(Wo)[None, :]
             in_bounds = (r < ori_h) & (cc < ori_w)
             valid = in_bounds[None] & (target != num_seg)
+            valid = valid & row_valid[:, None, None]
 
             areas, ce = _upsampled_areas_dyn(
                 grid, target, valid, num_seg, uh, uw, chunks
@@ -144,35 +152,84 @@ class Evaluator:
 
     # ----------------------------------------------------------------- driver
 
-    def eval_sample(self, params, sample: EvalSample) -> Dict[str, np.ndarray]:
-        img = sample.patch_image
-        seg = sample.ori_semantic_seg
+    def _run_group(self, params, samples) -> Dict[str, jax.Array]:
+        """Run a group of samples that share exact (resized, original) shapes
+        as ONE padded forward.  Short groups are padded by replicating row 0
+        with row_valid=False (same compiled shape for any power-of-2 size)."""
+        n = len(samples)
+        img = samples[0].patch_image
+        seg = samples[0].ori_semantic_seg
         h, w = img.shape[:2]
         H, W = seg.shape[:2]
         Hb, Wb = _bucket(h), _bucket(w)
         Ho, Wo = _bucket(H), _bucket(W)
+        b = 1 << (n - 1).bit_length()  # pad to the next power of two
         key = (Hb, Wb, Ho, Wo)
         if key not in self._fns:
             logger.info("compiling eval fn for bucket %s", key)
             self._fns[key] = self._make_fn((Hb, Wb), (Ho, Wo))
 
-        image = np.zeros((1, Hb, Wb, 3), np.float32)
-        image[0, :h, :w] = img
-        target = np.full((1, Ho, Wo), self.cfg.model.num_seg_tokens, np.int32)
-        target[0, :H, :W] = seg
+        num_seg = self.cfg.model.num_seg_tokens
+        image = np.zeros((b, Hb, Wb, 3), np.float32)
+        target = np.full((b, Ho, Wo), num_seg, np.int32)
+        src = np.tile(samples[0].src_tokens[None].astype(np.int32), (b, 1))
+        bos = np.tile(samples[0].bos_token[None].astype(np.int32), (b, 1))
+        for i, s in enumerate(samples):
+            image[i, : s.patch_image.shape[0], : s.patch_image.shape[1]] = s.patch_image
+            target[i, : s.ori_semantic_seg.shape[0], : s.ori_semantic_seg.shape[1]] = (
+                s.ori_semantic_seg
+            )
+            src[i] = s.src_tokens.astype(np.int32)
+            bos[i] = s.bos_token.astype(np.int32)
+        for i in range(n, b):  # replicate row 0 so scalars stay shared
+            image[i] = image[0]
+        row_valid = np.arange(b) < n
 
-        out = self._fns[key](
-            params,
-            sample.src_tokens[None].astype(np.int32),
-            image,
-            np.int32(h),
-            np.int32(w),
-            sample.bos_token[None].astype(np.int32),
-            target,
-            np.int32(H),
-            np.int32(W),
+        return self._fns[key](
+            params, src, image, np.int32(h), np.int32(w), bos, target,
+            np.int32(H), np.int32(W), row_valid,
         )
-        return jax.device_get(out)
+
+    def eval_sample(self, params, sample: EvalSample) -> Dict[str, np.ndarray]:
+        return jax.device_get(self._run_group(params, [sample]))
+
+    def eval_dataset(
+        self, params, dataset, batch_size: int = 1, prefetch: int = 4
+    ):
+        """Evaluate every sample: host preprocessing runs in a background
+        thread overlapping device compute; samples with identical exact
+        shapes batch together (--batch-size-valid); results stay on device
+        until the final readback (no per-sample sync).  Yields one logging
+        dict per executed group."""
+        import queue as queue_mod
+        import threading
+
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(prefetch, 1))
+
+        def producer():
+            for i in range(len(dataset)):
+                q.put(dataset.get_eval_sample(i))
+            q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+
+        groups: Dict[tuple, list] = {}
+        outs = []
+        while True:
+            sample = q.get()
+            if sample is None:
+                break
+            skey = (
+                sample.patch_image.shape[:2],
+                sample.ori_semantic_seg.shape[:2],
+                sample.src_tokens.shape[0],
+            )
+            groups.setdefault(skey, []).append(sample)
+            if len(groups[skey]) >= max(batch_size, 1):
+                outs.append(self._run_group(params, groups.pop(skey)))
+        for rest in groups.values():
+            outs.append(self._run_group(params, rest))
+        return [jax.device_get(o) for o in outs]
 
 
 def _upsampled_areas_dyn(grid, target, valid, num_classes, uh, uw, chunks):

@@ -30,6 +30,9 @@ class MultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     kdim: Optional[int] = None
     use_flash: bool = False  # fused Pallas path (TPU; exact-bias attention)
+    # context parallelism: ring attention over plan.axis when set and the
+    # sequence divides the axis (parallel/context.py; SURVEY §5 fresh design)
+    plan: Optional[object] = None  # ifseg_tpu.parallel.plan.ParallelPlan
 
     @nn.compact
     def __call__(
@@ -97,6 +100,29 @@ class MultiheadAttention(nn.Module):
                 )
             lk = lk + p
 
+        cp = getattr(self.plan, "context_parallel", 1) if self.plan is not None else 1
+        ring_ok = (
+            cp > 1
+            and lq == lk
+            and lq % cp == 0
+            and (self.dropout == 0.0 or deterministic)
+            and (bias is None or bias.ndim == 3)
+        )
+        if ring_ok:
+            from ifseg_tpu.parallel.context import ring_attention
+
+            out = ring_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias,
+                self.plan.mesh,
+                axis=self.plan.axis,
+                key_padding_mask=key_padding_mask,
+                causal=causal,
+            ).transpose(0, 2, 1, 3).astype(self.dtype)
+            return self._head_gain_and_out(out, dense, b, lq)
+
         flash_ok = (
             self.use_flash
             and (self.dropout == 0.0 or deterministic)
@@ -135,6 +161,9 @@ class MultiheadAttention(nn.Module):
                 )
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
+        return self._head_gain_and_out(out, dense, b, lq)
+
+    def _head_gain_and_out(self, out, dense, b, lq):
         if self.scale_heads:
             c_attn = self.param(
                 "c_attn", nn.initializers.ones, (self.num_heads,), jnp.float32

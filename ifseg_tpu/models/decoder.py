@@ -20,7 +20,7 @@ import numpy as np
 
 from ifseg_tpu.config import ModelConfig
 from ifseg_tpu.ops.resize import bilinear_matrix_dyn, resize_bilinear
-from .encoder import _flash_enabled, cfg_dtype
+from .encoder import _flash_enabled, _moe_layer, cfg_dtype
 from .layers import DecoderLayer
 from .position import (
     gather_rel_bias,
@@ -35,6 +35,7 @@ from .position import (
 class Decoder(nn.Module):
     cfg: ModelConfig
     embed_tokens: nn.Embed  # shared with encoder
+    plan: Optional[object] = None  # ParallelPlan (PP/EP/CP product wiring)
 
     def setup(self):
         cfg = self.cfg
@@ -110,6 +111,8 @@ class Decoder(nn.Module):
                 use_flash=_flash_enabled(cfg),
                 use_adapter=cfg.adapter,
                 adapter_dim=cfg.adapter_dim,
+                plan=self.plan,
+                use_moe=_moe_layer(self.plan, i),
                 name=f"layers_{i}",
             )
             for i in range(nlayers)
@@ -243,21 +246,120 @@ class Decoder(nn.Module):
         enc_pad = encoder_out["encoder_padding_mask"]
         seg_all = gather_rel_bias_all_layers(self.seg_rel_pos_table, seg_bucket)
         prompt_all = self._prompt_kv_all(deterministic)
-        for i, layer in enumerate(self.layers):
+
+        def self_bias_fn(i):
             seg_b = seg_all[i]
             if valid_hw is None:
                 seg_b = interp_seg_bias_with_bos(seg_b, (sb, sb), (h, w))
             else:
                 seg_b = interp_seg_bias_with_bos_mats(seg_b, ah, aw, (sb, sb))
-            x = layer(
-                x, enc, enc_pad, self_bias0 + seg_b, cross_bias,
-                self_padding_mask, not full_context_alignment, deterministic,
-                prompt_all[i] if prompt_all is not None else None,
+            return self_bias0 + seg_b
+
+        pp = getattr(self.plan, "pipeline_parallel", 1) if self.plan else 1
+        if pp > 1 and not self.is_initializing() and self_padding_mask is None:
+            x = self._run_layers_pp(
+                x, enc, enc_pad, self_bias_fn, cross_bias, prompt_all,
+                not full_context_alignment, deterministic,
             )
+        else:
+            for i, layer in enumerate(self.layers):
+                x = layer(
+                    x, enc, enc_pad, self_bias_fn(i), cross_bias,
+                    self_padding_mask, not full_context_alignment, deterministic,
+                    prompt_all[i] if prompt_all is not None else None,
+                )
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         if features_only:
             return x
         return self.output_layer(x)
+
+    def _run_layers_pp(
+        self, x, enc, enc_pad, self_bias_fn, cross_bias, prompt_all,
+        causal, deterministic,
+    ):
+        """GPipe over the decoder layer stack (--pipeline-parallel); the
+        encoder context travels with each microbatch as pipeline payload.
+        See Encoder._run_layers_pp for the scheme."""
+        import jax.random as jrandom
+
+        from ifseg_tpu.parallel.pipeline import gpipe
+
+        cfg = self.cfg
+        plan = self.plan
+        nl = len(self.layers)
+        s = plan.pipeline_parallel
+        assert nl % s == 0, f"{nl} layers not divisible by {s} pipeline stages"
+        lps = nl // s
+        m = plan.chunks
+        b = x.shape[0]
+        assert b % m == 0, f"batch {b} not divisible by {m} pipeline chunks"
+
+        biases = jnp.stack([self_bias_fn(i) for i in range(nl)])
+        layer_params = [
+            self.variables["params"][f"layers_{i}"] for i in range(nl)
+        ]
+        stacked = jax.tree_util.tree_map(lambda *ps: jnp.stack(ps), *layer_params)
+        stage_params = jax.tree_util.tree_map(
+            lambda a: a.reshape(s, lps, *a.shape[1:]), stacked
+        )
+        consts = {"bias": biases.reshape(s, lps, *biases.shape[1:])}
+        if prompt_all is not None:
+            consts["prompt"] = prompt_all.reshape(s, lps, *prompt_all.shape[1:])
+
+        bcast = {"cross_bias": cross_bias}
+        if not deterministic and (cfg.dropout > 0 or cfg.attention_dropout > 0):
+            bcast["rng"] = self.make_rng("dropout")
+
+        layer_mod = DecoderLayer(
+            embed_dim=cfg.decoder_embed_dim,
+            ffn_dim=cfg.decoder_ffn_embed_dim,
+            num_heads=cfg.decoder_attention_heads,
+            attn_scale_factor=cfg.attn_scale_factor,
+            scale_attn=cfg.scale_attn,
+            scale_fc=cfg.scale_fc,
+            scale_heads=cfg.scale_heads,
+            scale_resids=cfg.scale_resids,
+            activation_fn=cfg.activation_fn,
+            dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout,
+            drop_path_rate=0.0,
+            dtype=cfg_dtype(cfg),
+            use_flash=_flash_enabled(cfg),
+            use_adapter=cfg.adapter,
+            adapter_dim=cfg.adapter_dim,
+            parent=None,  # functional use: not a submodule of this Encoder
+        )
+
+        def stage_fn(p_stage, c_stage, bc, payload):
+            xx, ee, ep, mb = payload
+            stage_idx = jax.lax.axis_index(plan.axis)
+
+            def body(carry, inp):
+                j, p_l, c_l = inp
+                rngs = None
+                if "rng" in bc:
+                    key = jrandom.fold_in(bc["rng"], stage_idx * 4096 + j)
+                    rngs = {"dropout": jrandom.fold_in(key, mb)}
+                y = layer_mod.apply(
+                    {"params": p_l}, carry, ee, ep, c_l["bias"],
+                    bc["cross_bias"], None, causal, deterministic,
+                    c_l.get("prompt"), rngs=rngs,
+                )
+                return y, None
+
+            xx, _ = jax.lax.scan(body, xx, (jnp.arange(lps), p_stage, c_stage))
+            return (xx, ee, ep, mb)
+
+        xs = x.reshape(m, b // m, *x.shape[1:])
+        encs = enc.reshape(m, b // m, *enc.shape[1:])
+        pads = enc_pad.reshape(m, b // m, *enc_pad.shape[1:])
+        ctr = jnp.arange(m)
+        out, _, _, _ = gpipe(
+            stage_params, stage_fn, (xs, encs, pads, ctr), plan.mesh,
+            axis=plan.axis, stage_consts=consts, bcast=bcast,
+        )
+        return out.reshape(b, *x.shape[1:])
 
     def precompute_biases(self, enc_pos_all, image_hw):
         """Batch-independent decoder bias pack for a fixed shape (serving):

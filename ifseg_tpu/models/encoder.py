@@ -58,6 +58,7 @@ def class_mean_embeddings(embed_table, class_tokens, class_lengths):
 class Encoder(nn.Module):
     cfg: ModelConfig
     embed_tokens: nn.Embed  # shared with decoder
+    plan: Optional[object] = None  # ParallelPlan (PP/EP/CP product wiring)
 
     def setup(self):
         cfg = self.cfg
@@ -116,6 +117,8 @@ class Encoder(nn.Module):
                 use_flash=_flash_enabled(cfg),
                 use_adapter=cfg.adapter,
                 adapter_dim=cfg.adapter_dim,
+                plan=self.plan,
+                use_moe=_moe_layer(self.plan, i),
                 name=f"layers_{i}",
             )
             for i in range(nlayers)
@@ -235,18 +238,125 @@ class Encoder(nn.Module):
             def img_bias_fn(i):
                 return interp_grid_bias(img_all[i], rel_bias_grid_hw, image_hw)
 
-        for i, layer in enumerate(self.layers):
-            tok_b = tok_all[i]
-            img_b = img_bias_fn(i)
-            bias = bias0
-            bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)
-            bias = bias.at[:, :hw, :hw].add(img_b)
-            x = layer(
-                x, padding_mask, bias, deterministic,
-                prompt_all[i] if prompt_all is not None else None,
+        pp = getattr(self.plan, "pipeline_parallel", 1) if self.plan else 1
+        if pp > 1 and not self.is_initializing():
+            def bias_fn(i):
+                b_ = bias0
+                b_ = b_.at[:, l_total - src_len :, l_total - src_len :].add(tok_all[i])
+                return b_.at[:, :hw, :hw].add(img_bias_fn(i))
+
+            x = self._run_layers_pp(
+                x, padding_mask, bias_fn, prompt_all, deterministic
             )
+        else:
+            for i, layer in enumerate(self.layers):
+                tok_b = tok_all[i]
+                img_b = img_bias_fn(i)
+                bias = bias0
+                bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)
+                bias = bias.at[:, :hw, :hw].add(img_b)
+                x = layer(
+                    x, padding_mask, bias, deterministic,
+                    prompt_all[i] if prompt_all is not None else None,
+                )
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         return x
+
+    def _run_layers_pp(self, x, padding_mask, bias_fn, prompt_all, deterministic):
+        """GPipe over the encoder layer stack (--pipeline-parallel; reference
+        model_parallel/models/pipeline_parallel_transformer/model.py:316-319).
+
+        Layers are homogeneous, so stage s applies layers [s*Lps, (s+1)*Lps)
+        via lax.scan over its resident (stacked) parameters while microbatches
+        rotate around the ring (parallel/pipeline.py).  Stochastic depth is
+        disabled under PP (one scanned module can't vary drop_path per layer);
+        dropout works via a folded per-(stage, layer, microbatch) rng."""
+        import jax.random as jrandom
+
+        from ifseg_tpu.parallel.pipeline import gpipe
+
+        cfg = self.cfg
+        plan = self.plan
+        nl = len(self.layers)
+        s = plan.pipeline_parallel
+        assert nl % s == 0, f"{nl} layers not divisible by {s} pipeline stages"
+        lps = nl // s
+        m = plan.chunks
+        b = x.shape[0]
+        assert b % m == 0, f"batch {b} not divisible by {m} pipeline chunks"
+
+        biases = jnp.stack([bias_fn(i) for i in range(nl)])  # (nl, H, L, L)
+        layer_params = [
+            self.variables["params"][f"layers_{i}"] for i in range(nl)
+        ]
+        stacked = jax.tree_util.tree_map(
+            lambda *ps: jnp.stack(ps), *layer_params
+        )
+        stage_params = jax.tree_util.tree_map(
+            lambda a: a.reshape(s, lps, *a.shape[1:]), stacked
+        )
+        consts = {"bias": biases.reshape(s, lps, *biases.shape[1:])}
+        if prompt_all is not None:
+            consts["prompt"] = prompt_all.reshape(
+                s, lps, *prompt_all.shape[1:]
+            )
+
+        bcast = None
+        if not deterministic and (cfg.dropout > 0 or cfg.attention_dropout > 0):
+            bcast = {"rng": self.make_rng("dropout")}
+
+        layer_mod = EncoderLayer(
+            embed_dim=cfg.encoder_embed_dim,
+            ffn_dim=cfg.encoder_ffn_embed_dim,
+            num_heads=cfg.encoder_attention_heads,
+            attn_scale_factor=cfg.attn_scale_factor,
+            scale_attn=cfg.scale_attn,
+            scale_fc=cfg.scale_fc,
+            scale_heads=cfg.scale_heads,
+            scale_resids=cfg.scale_resids,
+            activation_fn=cfg.activation_fn,
+            dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout,
+            drop_path_rate=0.0,
+            dtype=cfg_dtype(cfg),
+            use_flash=_flash_enabled(cfg),
+            use_adapter=cfg.adapter,
+            adapter_dim=cfg.adapter_dim,
+            parent=None,  # functional use: not a submodule of this Encoder
+        )
+
+        def stage_fn(p_stage, c_stage, bc, payload):
+            xx, mm, mb = payload
+            stage_idx = jax.lax.axis_index(plan.axis)
+
+            def body(carry, inp):
+                j, p_l = inp[0], inp[1]
+                bias_l = inp[2]["bias"]
+                pkv = inp[2].get("prompt")
+                rngs = None
+                if bc is not None:
+                    key = jrandom.fold_in(bc["rng"], stage_idx * 4096 + j)
+                    rngs = {"dropout": jrandom.fold_in(key, mb)}
+                y = layer_mod.apply(
+                    {"params": p_l}, carry, mm, bias_l, deterministic, pkv,
+                    rngs=rngs,
+                )
+                return y, None
+
+            xx, _ = jax.lax.scan(
+                body, xx, (jnp.arange(lps), p_stage, c_stage)
+            )
+            return (xx, mm, mb)
+
+        xs = x.reshape(m, b // m, *x.shape[1:])
+        masks = padding_mask.reshape(m, b // m, padding_mask.shape[1])
+        ctr = jnp.arange(m)
+        out, _, _ = gpipe(
+            stage_params, stage_fn, (xs, masks, ctr), plan.mesh,
+            axis=plan.axis, stage_consts=consts, bcast=bcast,
+        )
+        return out.reshape(b, *x.shape[1:])
 
     # --------------------------------------------------------------- serving
 
@@ -512,6 +622,16 @@ class Encoder(nn.Module):
             "image_embed_before_proj": None,
             "image_embed_shape": (h, w),
         }
+
+
+def _moe_layer(plan, i: int) -> bool:
+    """Every plan.moe_freq-th layer's FFN becomes a BASE MoE layer (the
+    reference inserts BASE layers at an interval, modules/base_layer.py)."""
+    return (
+        plan is not None
+        and plan.moe_experts > 1
+        and (i % plan.moe_freq) == (plan.moe_freq - 1)
+    )
 
 
 def _flash_enabled(cfg: ModelConfig) -> bool:

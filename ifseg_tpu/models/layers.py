@@ -151,6 +151,8 @@ class EncoderLayer(nn.Module):
     use_flash: bool = False
     use_adapter: bool = False
     adapter_dim: int = 200
+    plan: object = None  # ParallelPlan: context-parallel self-attn, MoE FFN
+    use_moe: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None, self_attn_bias=None, deterministic=True,
@@ -165,6 +167,7 @@ class EncoderLayer(nn.Module):
             dropout=self.attention_dropout,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            plan=self.plan,
             name="self_attn",
         )(y, bias=self_attn_bias, key_padding_mask=padding_mask,
           deterministic=deterministic, prompt_kv=prompt_kv)
@@ -176,10 +179,17 @@ class EncoderLayer(nn.Module):
 
         residual = x
         y = _ln("final_layer_norm")(x).astype(self.dtype)
-        y = FeedForward(
-            self.embed_dim, self.ffn_dim, self.activation_fn, self.dropout,
-            self.activation_dropout, self.scale_fc, self.dtype, name="ffn",
-        )(y, deterministic)
+        if self.use_moe:
+            from .moe_ffn import MoEFeedForward
+
+            y = MoEFeedForward(
+                self.embed_dim, self.ffn_dim, self.plan, self.dtype, name="moe",
+            )(y, deterministic)
+        else:
+            y = FeedForward(
+                self.embed_dim, self.ffn_dim, self.activation_fn, self.dropout,
+                self.activation_dropout, self.scale_fc, self.dtype, name="ffn",
+            )(y, deterministic)
         if self.use_adapter:
             y = Adapter(
                 self.embed_dim, self.adapter_dim, dtype=self.dtype, name="adapter"
@@ -209,6 +219,8 @@ class DecoderLayer(nn.Module):
     use_flash: bool = False
     use_adapter: bool = False
     adapter_dim: int = 200
+    plan: object = None
+    use_moe: bool = False
 
     @nn.compact
     def __call__(
@@ -233,6 +245,7 @@ class DecoderLayer(nn.Module):
             dropout=self.attention_dropout,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            plan=self.plan,
             name="self_attn",
         )(
             y,
@@ -275,10 +288,17 @@ class DecoderLayer(nn.Module):
 
         residual = x
         y = _ln("final_layer_norm")(x).astype(self.dtype)
-        y = FeedForward(
-            self.embed_dim, self.ffn_dim, self.activation_fn, self.dropout,
-            self.activation_dropout, self.scale_fc, self.dtype, name="ffn",
-        )(y, deterministic)
+        if self.use_moe:
+            from .moe_ffn import MoEFeedForward
+
+            y = MoEFeedForward(
+                self.embed_dim, self.ffn_dim, self.plan, self.dtype, name="moe",
+            )(y, deterministic)
+        else:
+            y = FeedForward(
+                self.embed_dim, self.ffn_dim, self.activation_fn, self.dropout,
+                self.activation_dropout, self.scale_fc, self.dtype, name="ffn",
+            )(y, deterministic)
         if self.use_adapter:
             y = Adapter(
                 self.embed_dim, self.adapter_dim, dtype=self.dtype, name="adapter"

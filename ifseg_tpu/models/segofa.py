@@ -20,6 +20,8 @@ from .encoder import Encoder, cfg_dtype
 
 class SegOFA(nn.Module):
     cfg: ModelConfig
+    # model-parallel strategies beyond GSPMD (PP/EP/CP), None = pure GSPMD
+    plan: Optional[object] = None  # ifseg_tpu.parallel.plan.ParallelPlan
 
     def setup(self):
         cfg = self.cfg
@@ -30,8 +32,8 @@ class SegOFA(nn.Module):
             param_dtype=jnp.float32,
             name="embed_tokens",
         )
-        self.encoder = Encoder(cfg, self.embed_tokens, name="encoder")
-        self.decoder = Decoder(cfg, self.embed_tokens, name="decoder")
+        self.encoder = Encoder(cfg, self.embed_tokens, plan=self.plan, name="encoder")
+        self.decoder = Decoder(cfg, self.embed_tokens, plan=self.plan, name="decoder")
 
     def __call__(
         self,
@@ -224,8 +226,9 @@ class SegOFAVariables:
     """Helper to init / describe SegOFA parameter pytrees."""
 
     @staticmethod
-    def init(cfg: ModelConfig, rng: jax.Array, src_len: int = 48, image_size: int = 64):
-        model = SegOFA(cfg)
+    def init(cfg: ModelConfig, rng: jax.Array, src_len: int = 48, image_size: int = 64,
+             plan=None):
+        model = SegOFA(cfg, plan=plan)
         hw = (cfg.patch_image_size // 16) ** 2
         dummy = dict(
             src_tokens=jnp.zeros((1, src_len), jnp.int32),

@@ -12,9 +12,13 @@ Layout: q (B, H, Lq, D), k/v (B, H, Lk, D), bias (H, Lq, Lk) fp32 shared
 across the batch (all OFA biases are batch-independent), optional key padding
 mask (B, Lk).  fp32 accumulation on the MXU, output in the input dtype.
 
-Backward falls back to an XLA recompute (attention_dropout=0 throughout
-IFSeg, so forward-kernel + recompute-backward is exact); the fused kernel is
-on the eval/serving hot path where it counts.
+No operand is ever padded: the q-block size adapts to Lq (zero or near-zero
+remainder), K/V/bias blocks span the full key length, and the last q block is
+handled by Pallas's masked block semantics (out-of-bounds rows read garbage
+and are dropped on write; the backward kernels zero those rows before any
+cross-row reduction).  This matters: padding Lq 1056 -> 1280 (the old
+fixed-256 block) wasted 21% of the attention FLOPs and re-materialized padded
+copies of q/k/v/bias in HBM every call.
 """
 
 import functools
@@ -33,6 +37,33 @@ except Exception:  # pragma: no cover
 
 NEG_INF = -1e9
 
+# VMEM budget for one program's resident blocks (logits + bias double-buffer
+# + K/V); the chip has ~16 MB of VMEM per core
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_bq(lq: int, lk: int) -> int:
+    """Largest q-block <= 512 that (a) minimizes the non-divisible remainder
+    and (b) keeps the program's VMEM footprint under budget.
+
+    The dominant VMEM terms scale with bq * lk (fp32 logits + two buffered
+    fp32 bias blocks) — cap bq accordingly, then scan block counts for the
+    best fit (lq=1056 -> bq=352 exact; lq=1025 -> bq=344, 7 masked rows)."""
+    cap = max(_VMEM_BUDGET // (lk * 4 * 3), 128)
+    cap = min(512, cap)
+    best = None
+    for nb in range(max(1, -(-lq // cap)), -(-lq // 8) + 1):
+        bq = -(-(-(-lq // nb)) // 8) * 8
+        if bq > cap:
+            continue
+        waste = nb * bq - lq
+        key = (waste, nb)
+        if best is None or key < best[:2]:
+            best = (waste, nb, bq)
+        if waste == 0:
+            break
+    return best[2]
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq):
     # rest = (mask_ref, out_ref) when a batch mask is passed, else (out_ref,)
@@ -47,7 +78,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, Lk) fp32
     logits += bias_ref[0].astype(jnp.float32)
-    if mask_ref:  # batch-dependent key padding (tail padding lives in bias)
+    if mask_ref:  # batch-dependent key padding
         mask = mask_ref[0][0, 0] != 0  # (Lk,)
         logits = jnp.where(mask[None, :], NEG_INF, logits)
     if causal:
@@ -66,15 +97,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq):
     out_ref[0, 0] = (acc / s).astype(out_ref.dtype)
 
 
-def _pad_to(x, size, axis):
-    pad = size - x.shape[axis]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
 def _attention_xla(q, k, v, bias, key_padding_mask, causal):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     if bias is not None:
@@ -91,7 +113,8 @@ def _attention_xla(q, k, v, bias, key_padding_mask, causal):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def flash_attention_bias(q, k, v, bias, key_padding_mask, causal=False):
-    """Fused attention forward; exact XLA recompute backward.
+    """Fused attention forward; streaming Pallas backward (or exact XLA
+    recompute, see BACKWARD_IMPL).
 
     q (B,H,Lq,D); k,v (B,H,Lk,D); bias (H,Lq,Lk) fp32 or None;
     key_padding_mask (B,Lk) bool (True = pad) or None.
@@ -112,57 +135,47 @@ def _interpret_mode() -> bool:
 def _flash_forward(q, k, v, bias, key_padding_mask, causal):
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    bq = min(256, max(128, lq))
-    lq_p = -(-lq // bq) * bq
-    lk_p = -(-lk // 128) * 128
+    bq = _pick_bq(lq, lk)
+    nb = pl.cdiv(lq, bq)
 
-    qp = _pad_to(q, lq_p, 2)
-    kp = _pad_to(k, lk_p, 2)
-    vp = _pad_to(v, lk_p, 2)
     if bias is None:
         bias = jnp.zeros((h, lq, lk), jnp.float32)
-    bias_p = _pad_to(_pad_to(bias.astype(jnp.float32), lq_p, 1), lk_p, 2)
-    # bake the tail-key mask into the padded bias: the common no-padding call
-    # then needs no mask input and no in-kernel where pass
-    if lk_p != lk:
-        tail = (jnp.arange(lk_p) >= lk)[None, None, :]
-        bias_p = jnp.where(tail, NEG_INF, bias_p)
 
-    inputs = [qp, kp, vp, bias_p]
+    inputs = [q, k, v, bias]
     # grid order (h, i, b): batch varies fastest, so the (h, i)-indexed bias
     # block is unchanged across consecutive programs and Pallas skips its
     # DMA — without this the fp32 bias is re-fetched per batch element and
     # dominates the kernel's HBM traffic
-    grid = (h, lq_p // bq, b)
+    grid = (h, nb, b)
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
-        pl.BlockSpec((1, 1, lk_p, d), lambda h_, i, b_: (b_, h_, 0, 0)),
-        pl.BlockSpec((1, 1, lk_p, d), lambda h_, i, b_: (b_, h_, 0, 0)),
-        pl.BlockSpec((1, bq, lk_p), lambda h_, i, b_: (h_, i, 0)),
+        pl.BlockSpec((1, 1, lk, d), lambda h_, i, b_: (b_, h_, 0, 0)),
+        pl.BlockSpec((1, 1, lk, d), lambda h_, i, b_: (b_, h_, 0, 0)),
+        pl.BlockSpec((1, bq, lk), lambda h_, i, b_: (h_, i, 0)),
     ]
     if key_padding_mask is not None:
-        maskp = _pad_to(key_padding_mask.astype(jnp.int32), lk_p, 1)
-        inputs.append(maskp[:, None, :])  # (B, 1, Lk): 2D trailing tiling
-        in_specs.append(pl.BlockSpec((1, 1, lk_p), lambda h_, i, b_: (b_, 0, 0)))
+        inputs.append(key_padding_mask.astype(jnp.int32)[:, None, :])
+        in_specs.append(pl.BlockSpec((1, 1, lk), lambda h_, i, b_: (b_, 0, 0)))
 
     kernel = functools.partial(
         _attn_kernel, causal=causal, lq=lq, lk=lk, bq=bq
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
         interpret=_interpret_mode(),
     )(*inputs)
-    return out[:, :, :lq]
 
 
 # --------------------------------------------------------------- backward
 
 def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
-    """Shared logits -> probabilities recompute for the backward kernels."""
+    """Shared logits -> probabilities recompute for the backward kernels.
+    Rows past Lq (the masked tail of the last q block) are zeroed so they
+    cannot contribute to the dbias/dk/dv reductions."""
     logits = jax.lax.dot_general(
         q_blk, k_all, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -170,14 +183,17 @@ def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
     if mask_ref:
         mask = mask_ref[0][0, 0] != 0
         logits = jnp.where(mask[None, :], NEG_INF, logits)
+    rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
     if causal:
-        rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
         cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(cols > rows + (lk - lq), NEG_INF, logits)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
-    return e / s  # fp32 (bq, Lk)
+    p = e / s
+    if lq % bq != 0:
+        p = jnp.where(rows < lq, p, 0.0)
+    return p  # fp32 (bq, Lk)
 
 
 def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
@@ -200,7 +216,7 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
         preferred_element_type=jnp.float32,
     )
     di = jnp.sum(do * o, axis=-1, keepdims=True)
-    dlogits = p * (dp - di)  # fp32 (bq, Lk)
+    dlogits = p * (dp - di)  # fp32 (bq, Lk); zero rows past Lq (p is zeroed)
     dq = jax.lax.dot_general(
         dlogits.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -224,6 +240,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
     v = v_ref[0, 0]
     p = _recompute_p(q, k, bias_ref[0], mask_ref, causal, i, bq, lq, lk)
     do = do_ref[0, 0].astype(jnp.float32)
+    if lq % bq != 0:
+        # garbage rows of the last q block may read NaN/Inf; zeroing p alone
+        # is not enough (0 * NaN = NaN inside the cross-row matmul sums), so
+        # the cotangent rows must be zeroed too
+        rows = jax.lax.broadcasted_iota(jnp.int32, do.shape, 0) + i * bq
+        do = jnp.where(rows < lq, do, 0.0)
     dp = jax.lax.dot_general(
         do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -234,8 +256,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
     )
     di = jnp.sum(do * o, axis=-1, keepdims=True)
     dlogits = p * (dp - di)
+    if lq % bq != 0:
+        rows_l = jax.lax.broadcasted_iota(jnp.int32, dlogits.shape, 0) + i * bq
+        dlogits = jnp.where(rows_l < lq, dlogits, 0.0)
     dv_c = jax.lax.dot_general(  # (Lk, D) = p^T @ do
-        p.astype(do_ref.dtype), do_ref[0, 0],
+        p.astype(do_ref.dtype), do.astype(do_ref.dtype),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     dk_c = jax.lax.dot_general(  # (Lk, D) = dlogits^T @ q
@@ -258,32 +283,20 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g):
     autodiff fallback materializes it in fp32, the dominant training cost)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    bq = min(256, max(128, lq))
-    lq_p = -(-lq // bq) * bq
-    lk_p = -(-lk // 128) * 128
-    nb = lq_p // bq
+    bq = _pick_bq(lq, lk)
+    nb = pl.cdiv(lq, bq)
 
     had_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((h, lq, lk), jnp.float32)
-    bias_p = _pad_to(_pad_to(bias.astype(jnp.float32), lq_p, 1), lk_p, 2)
-    if lk_p != lk:
-        tail = (jnp.arange(lk_p) >= lk)[None, None, :]
-        bias_p = jnp.where(tail, NEG_INF, bias_p)
-    # padded (garbage) query rows must not contribute to dbias/dk/dv
-    gp = _pad_to(g, lq_p, 2)
-    qp = _pad_to(q, lq_p, 2)
-    kp = _pad_to(k, lk_p, 2)
-    vp = _pad_to(v, lk_p, 2)
 
-    base_inputs = [qp, kp, vp, bias_p, gp]
+    base_inputs = [q, k, v, bias, g]
     mask_input = []
     if key_padding_mask is not None:
-        maskp = _pad_to(key_padding_mask.astype(jnp.int32), lk_p, 1)
-        mask_input = [maskp[:, None, :]]
+        mask_input = [key_padding_mask.astype(jnp.int32)[:, None, :]]
 
     qspec = lambda perm: pl.BlockSpec((1, 1, bq, d), perm)
-    kspec = lambda perm: pl.BlockSpec((1, 1, lk_p, d), perm)
+    kspec = lambda perm: pl.BlockSpec((1, 1, lk, d), perm)
 
     # kernel A: dq (write-once) + dbias (accumulate over innermost b)
     grid_a = (h, nb, b)
@@ -291,20 +304,20 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g):
         qspec(lambda h_, i, b_: (b_, h_, i, 0)),
         kspec(lambda h_, i, b_: (b_, h_, 0, 0)),
         kspec(lambda h_, i, b_: (b_, h_, 0, 0)),
-        pl.BlockSpec((1, bq, lk_p), lambda h_, i, b_: (h_, i, 0)),
+        pl.BlockSpec((1, bq, lk), lambda h_, i, b_: (h_, i, 0)),
         qspec(lambda h_, i, b_: (b_, h_, i, 0)),
-    ] + ([pl.BlockSpec((1, 1, lk_p), lambda h_, i, b_: (b_, 0, 0))] if mask_input else [])
-    dq_p, dbias_p = pl.pallas_call(
+    ] + ([pl.BlockSpec((1, 1, lk), lambda h_, i, b_: (b_, 0, 0))] if mask_input else [])
+    dq, dbias = pl.pallas_call(
         functools.partial(_bwd_dq_dbias_kernel, causal=causal, lq=lq, lk=lk, bq=bq, nb=nb),
         grid=grid_a,
         in_specs=in_specs_a,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
-            pl.BlockSpec((1, bq, lk_p), lambda h_, i, b_: (h_, i, 0)),
+            pl.BlockSpec((1, bq, lk), lambda h_, i, b_: (h_, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, lq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((h, lq_p, lk_p), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((h, lq, lk), jnp.float32),
         ],
         interpret=_interpret_mode(),
     )(*base_inputs, *mask_input)
@@ -315,10 +328,10 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g):
         qspec(lambda h_, b_, i: (b_, h_, i, 0)),
         kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
         kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
-        pl.BlockSpec((1, bq, lk_p), lambda h_, b_, i: (h_, i, 0)),
+        pl.BlockSpec((1, bq, lk), lambda h_, b_, i: (h_, i, 0)),
         qspec(lambda h_, b_, i: (b_, h_, i, 0)),
-    ] + ([pl.BlockSpec((1, 1, lk_p), lambda h_, b_, i: (b_, 0, 0))] if mask_input else [])
-    dk_p, dv_p = pl.pallas_call(
+    ] + ([pl.BlockSpec((1, 1, lk), lambda h_, b_, i: (b_, 0, 0))] if mask_input else [])
+    dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, lq=lq, lk=lk, bq=bq, nb=nb),
         grid=grid_b,
         in_specs=in_specs_b,
@@ -327,16 +340,13 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g):
             kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, lk_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, lk_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lk, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lk, d), q.dtype),
         ],
         interpret=_interpret_mode(),
     )(*base_inputs, *mask_input)
 
-    dq = dq_p[:, :, :lq]
-    dk = dk_p[:, :, :lk]
-    dv = dv_p[:, :, :lk]
-    db = dbias_p[:, :lq, :lk] if had_bias else None
+    db = dbias if had_bias else None
     return dq, dk, dv, db
 
 
@@ -346,11 +356,18 @@ def _fwd(q, k, v, bias, key_padding_mask, causal):
     )
 
 
-# backward implementation: "xla" (recompute via einsums — faster per-op on
-# TPU, relies on per-layer remat to bound the fp32 logits memory) or
-# "pallas" (streaming kernels, no (B,H,Lq,Lk) HBM tensor — use when training
-# without activation checkpointing or at longer sequence lengths)
-BACKWARD_IMPL = "xla"
+# Backward implementation, A/B-measured on v5e at the reference train config
+# (OFA-Base, 512px, batch 16; see README perf table):
+#   remat + xla      1.50 s/step   <- default
+#   remat + pallas   2.68 s/step
+#   no-remat+pallas  3.18 s/step
+# "xla" recomputes attention via einsums under per-layer remat — XLA fuses
+# the softmax backward better than the hand-written streaming kernels at
+# these lengths; "pallas" (no (B,H,Lq,Lk) HBM tensor) remains available for
+# longer sequences where the logits no longer fit.
+import os as _os
+
+BACKWARD_IMPL = _os.environ.get("IFSEG_FLASH_BACKWARD", "xla")
 
 
 def _bwd(causal, res, g):

@@ -30,13 +30,20 @@ def ring_attention(
     bias: Optional[jnp.ndarray],  # (H, L, L) fp32 or None; rows sharded
     mesh: Mesh,
     axis: str = "model",
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, L) bool, True = pad
+    causal: bool = False,
 ):
-    """Exact attention with the sequence axis sharded over ``axis``."""
+    """Exact attention with the sequence axis sharded over ``axis``.
+
+    The padding mask rotates around the ring with its K/V chunk; causal
+    masking compares global query rows (idx-local offset) against global key
+    columns (resident-chunk offset) so the result matches dense causal
+    attention exactly."""
     n = mesh.shape[axis]
 
-    def local_fn(q_l, k_l, v_l, bias_l):
+    def local_fn(q_l, k_l, v_l, bias_l, mask_l):
         # q_l: (B, H, Lq_loc, D); k_l/v_l: (B, H, Lc, D) local chunk
-        # bias_l: (H, Lq_loc, L_total)
+        # bias_l: (H, Lq_loc, L_total); mask_l: (B, Lc)
         idx = jax.lax.axis_index(axis)
         b, h, lq, d = q_l.shape
         lc = k_l.shape[2]
@@ -48,7 +55,7 @@ def ring_attention(
         perm = [(i, (i + 1) % n) for i in range(n)]
 
         def step(carry, t):
-            o, m, s, kc, vc = carry
+            o, m, s, kc, vc, mc = carry
             src = (idx - t) % n  # which chunk is resident this step
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", qf, kc.astype(jnp.float32),
@@ -58,6 +65,15 @@ def ring_attention(
                 col = src * lc
                 bslice = jax.lax.dynamic_slice_in_dim(bias_l, col, lc, axis=2)
                 logits = logits + bslice[None]
+            if mc is not None:
+                logits = jnp.where(mc[:, None, None, :], NEG_INF, logits)
+            if causal:
+                rows = idx * lq + jnp.arange(lq)  # global query positions
+                cols = src * lc + jnp.arange(lc)  # global key positions
+                logits = jnp.where(
+                    cols[None, None, None, :] > rows[None, None, :, None],
+                    NEG_INF, logits,
+                )
             m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
             p = jnp.exp(logits - m_new)
             scale = jnp.exp(m - m_new)
@@ -68,7 +84,9 @@ def ring_attention(
             )
             kc = jax.lax.ppermute(kc, axis, perm)
             vc = jax.lax.ppermute(vc, axis, perm)
-            return (o, m_new, s, kc, vc), None
+            if mc is not None:
+                mc = jax.lax.ppermute(mc, axis, perm)
+            return (o, m_new, s, kc, vc, mc), None
 
         init = (
             jax.lax.pvary(o0, (axis,)),
@@ -76,15 +94,20 @@ def ring_attention(
             jax.lax.pvary(s0, (axis,)),
             k_l,
             v_l,
+            mask_l,
         )
-        (o, m, s, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
+        (o, m, s, _, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
         return (o / jnp.maximum(s, 1e-30)).astype(q_l.dtype)
 
     bias_spec = P(None, axis, None) if bias is not None else P()
-    args = (q, k, v, bias)
+    mask_spec = P(None, axis) if key_padding_mask is not None else P()
 
-    def wrapper(q_, k_, v_, b_):
-        return local_fn(q_, k_, v_, b_ if bias is not None else None)
+    def wrapper(q_, k_, v_, b_, m_):
+        return local_fn(
+            q_, k_, v_,
+            b_ if bias is not None else None,
+            m_ if key_padding_mask is not None else None,
+        )
 
     return shard_map(
         wrapper,
@@ -94,6 +117,11 @@ def ring_attention(
             P(None, None, axis, None),
             P(None, None, axis, None),
             bias_spec,
+            mask_spec,
         ),
         out_specs=P(None, None, axis, None),
-    )(q, k, v, bias if bias is not None else jnp.zeros((1,), jnp.float32))
+    )(
+        q, k, v,
+        bias if bias is not None else jnp.zeros((1,), jnp.float32),
+        key_padding_mask if key_padding_mask is not None else jnp.zeros((1,), bool),
+    )

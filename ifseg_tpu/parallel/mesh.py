@@ -50,6 +50,35 @@ def build_mesh(
     return Mesh(arr, ("data", "fsdp", "model"))
 
 
+def model_axis_size(dist_cfg) -> int:
+    """Size of the shared 'model' axis given the distributed flags.  At most
+    one model-parallel strategy may exceed 1 (the reference likewise maintains
+    a single model-parallel group, distributed/utils.py:491-508)."""
+    sizes = {
+        "tensor_parallel": max(getattr(dist_cfg, "tensor_parallel", 1), 1),
+        "pipeline_parallel": max(getattr(dist_cfg, "pipeline_parallel", 1), 1),
+        "context_parallel": max(getattr(dist_cfg, "context_parallel", 1), 1),
+        "moe_experts": max(getattr(dist_cfg, "moe_experts", 0), 1),
+    }
+    active = {k: v for k, v in sizes.items() if v > 1}
+    if len(active) > 1:
+        raise ValueError(
+            f"at most one model-parallel strategy may exceed 1, got {active}"
+        )
+    return max(sizes.values())
+
+
+def mesh_from_config(dist_cfg, devices=None) -> Mesh:
+    return build_mesh(
+        MeshConfig(
+            data_parallel=getattr(dist_cfg, "data_parallel", -1),
+            fsdp=getattr(dist_cfg, "fsdp", 1),
+            tensor_parallel=model_axis_size(dist_cfg),
+        ),
+        devices=devices,
+    )
+
+
 def initialize_distributed(coordinator_address=None, num_processes=1, process_id=0):
     """Multi-host init (reference distributed_init, utils.py:243-332). No-op
     for a single process."""

@@ -42,6 +42,10 @@ TP_RULES: List[Tuple[str, P]] = [
     # big embeddings: shard the vocab/row axis
     (r"embed_tokens/embedding$", P("model", None)),
     (r"image_proj/kernel$", P(None, "model")),
+    # BASE MoE experts: one expert per 'model'-axis device
+    # (models/moe_ffn.py; ref base_layer.py:27-29 expert params skip DP sync)
+    (r"moe/centroids$", P("model", None)),
+    (r"moe/(wi|wo)$", P("model", None, None)),
 ]
 
 

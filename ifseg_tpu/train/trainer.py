@@ -66,7 +66,10 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else build_mesh()
-        self.model = SegOFA(cfg.model)
+        from ifseg_tpu.parallel.plan import plan_from_config
+
+        self.plan = plan_from_config(cfg.distributed, self.mesh)
+        self.model = SegOFA(cfg.model, plan=self.plan)
         self.class_tokens = jnp.asarray(class_tokens) if class_tokens is not None else None
         self.class_lengths = (
             jnp.asarray(class_lengths) if class_lengths is not None else None
@@ -85,7 +88,7 @@ class Trainer:
         if params is None:
             from ifseg_tpu.models.segofa import SegOFAVariables
 
-            _, params = SegOFAVariables.init(cfg.model, self._rng)
+            _, params = SegOFAVariables.init(cfg.model, self._rng, plan=self.plan)
         if cfg.criterion.init_seg_with_text and self.class_tokens is not None:
             params = init_seg_embeddings(
                 params, self.class_tokens, self.class_lengths, cfg.model.num_seg_tokens
@@ -195,7 +198,7 @@ class Trainer:
         # inference-mode monitoring pass on the real batch; supervised:
         # train directly on real images (seg_criterion.py:179-192)
         unsupervised = cfg.criterion.unsupervised_segmentation
-        monitoring = unsupervised
+        monitoring = unsupervised and cfg.criterion.monitor_real_batch
         loss_fn = self._loss_fn if unsupervised else self._loss_fn_supervised
 
         def step_fn(state: TrainState, batch: Dict[str, Any]):

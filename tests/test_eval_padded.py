@@ -166,3 +166,50 @@ def test_evaluator_mixed_shapes(setup, monkeypatch):
         assert np.isfinite(out["nll_loss"])
     # first and third shapes share buckets -> only 2 compiled fns
     assert len(evaluator._fns) == 2
+
+
+def test_eval_dataset_batched_matches_per_sample(setup, monkeypatch):
+    """--batch-size-valid: grouped padded forward sums the same per-class
+    areas as sample-at-a-time evaluation (VERDICT round-1 item 7)."""
+    import ifseg_tpu.eval.evaluator as ev
+
+    monkeypatch.setattr(ev, "BUCKET", 64)
+    monkeypatch.setattr(ev, "ROW_CHUNK", 32)
+
+    cfg, model, params = setup
+    from ifseg_tpu.config import Config
+    from ifseg_tpu.data.segmentation_dataset import EvalSample
+
+    full_cfg = Config().replace(model=cfg)
+    rng = np.random.default_rng(5)
+
+    samples = []
+    # 3 samples share one exact shape (batched as a padded group of 4),
+    # 1 sample has another shape (its own group)
+    for h, w, H, W in ((48, 80, 96, 160),) * 3 + ((80, 48, 120, 100),):
+        samples.append(EvalSample(
+            patch_image=rng.normal(size=(h, w, 3)).astype(np.float32),
+            src_tokens=rng.integers(4, 100, size=(10,)).astype(np.int32),
+            bos_token=np.zeros((1,), np.int32),
+            ori_semantic_seg=rng.integers(0, 5, size=(H, W)).astype(np.int32),
+            ori_shape=(H, W, 3),
+        ))
+
+    class ListDS:
+        def __len__(self):
+            return len(samples)
+
+        def get_eval_sample(self, i):
+            return samples[i]
+
+    evaluator = ev.Evaluator(full_cfg, model)
+    per = [evaluator.eval_sample(params, s) for s in samples]
+    want = sum(np.asarray(o["area_intersect"]) for o in per)
+    want_label = sum(np.asarray(o["area_label"]) for o in per)
+
+    logs = evaluator.eval_dataset(params, ListDS(), batch_size=4)
+    assert len(logs) == 2  # one group of 3 (padded to 4), one singleton
+    got = sum(np.asarray(o["area_intersect"]) for o in logs)
+    got_label = sum(np.asarray(o["area_label"]) for o in logs)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got_label, want_label, rtol=1e-5)

@@ -17,7 +17,7 @@ def test_gpipe_matches_sequential():
     w = jax.random.normal(rng, (s, d, d)) * 0.5  # one linear per stage
     b = jax.random.normal(jax.random.PRNGKey(1), (s, d)) * 0.1
 
-    def stage_fn(params, x):
+    def stage_fn(params, consts, bcast, x):
         wi, bi = params
         return jnp.tanh(x @ wi + bi)
 
@@ -41,7 +41,7 @@ def test_gpipe_gradients_flow():
     d = 4
     w = jax.random.normal(jax.random.PRNGKey(0), (s, d, d)) * 0.5
 
-    def stage_fn(wi, x):
+    def stage_fn(wi, consts, bcast, x):
         return jnp.tanh(x @ wi)
 
     xs = jax.random.normal(jax.random.PRNGKey(1), (3, 2, d))
