@@ -72,6 +72,9 @@ def main(argv=None):
     p.add_argument("--resnet-iters", type=int, default=25)
     p.add_argument("--resnet-topk", type=int, default=5)
     p.add_argument("--crf-iters", type=int, default=10)
+    p.add_argument("--crf-backend", default="jax", choices=("jax", "cpp"),
+                   help="on-device permutohedral mean field (jax) or the "
+                        "ctypes C++ lattice (cpp)")
     p.add_argument("--alpha", type=float, default=0.5, help="overlay opacity")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
@@ -170,9 +173,18 @@ def main(argv=None):
     up = np.einsum("Wk,hkc->hWc", aw, up)
 
     if args.crf_iters > 0:
-        from ifseg_tpu.ops.crf import dense_crf
+        if args.crf_backend == "jax":
+            from ifseg_tpu.ops.crf_jax import dense_crf_jax
 
-        up = dense_crf(bgr, up.astype(np.float32), n_iter=args.crf_iters)
+            up = np.asarray(dense_crf_jax(
+                jnp.asarray(bgr, jnp.float32),
+                jnp.asarray(up, jnp.float32),
+                up.shape[0], up.shape[1], n_iter=args.crf_iters,
+            ))
+        else:
+            from ifseg_tpu.ops.crf import dense_crf
+
+            up = dense_crf(bgr, up.astype(np.float32), n_iter=args.crf_iters)
 
     seg = up.argmax(-1).astype(np.int32)
     cmap = _colormap(max(num_seg, 8))

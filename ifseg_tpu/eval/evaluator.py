@@ -258,9 +258,14 @@ def _upsampled_areas_dyn(grid, target, valid, num_classes, uh, uw, chunks):
         vld = jax.lax.dynamic_slice_in_dim(valid, i * rows, rows, axis=1)
         pred = jnp.argmax(chunk, axis=-1)
         a = confusion_areas(pred, tgt, num_classes, valid=vld)
-        logp = jax.nn.log_softmax(chunk, axis=-1)
+        # one-hot contraction instead of a lane-axis gather (see
+        # train/criterion._ce_from_logits)
         t = jnp.clip(tgt, 0, num_classes - 1)
-        nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+        lse = jax.nn.logsumexp(chunk, axis=-1)
+        zt = jnp.sum(
+            chunk * jax.nn.one_hot(t, num_classes, dtype=jnp.float32), axis=-1
+        )
+        nll = lse - zt
         wv = vld.astype(jnp.float32)
         carry = (
             tuple(x + y for x, y in zip(areas, a)),

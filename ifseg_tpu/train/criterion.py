@@ -36,13 +36,22 @@ class LossOut(NamedTuple):
 
 
 def _ce_from_logits(logits, target, valid, label_smoothing: float) -> LossOut:
-    """Summed CE over valid cells. logits (..., C) fp32, target int, valid bool."""
+    """Summed CE over valid cells. logits (..., C) fp32, target int, valid bool.
+
+    nll = logsumexp(z) - z[t], with z[t] read via a one-hot contraction: a
+    ``take_along_axis`` gather over the minor (lane) axis lowers to a slow
+    per-element path on TPU and dominated the whole training step (8x on the
+    512px CE); the one-hot sum is a VPU-friendly fused multiply-reduce.
+    Label smoothing uses the closed form mean_c(-log p_c) = lse - mean_c(z),
+    so the full log-probability tensor is never materialized."""
     logits = logits.astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    tgt = jnp.clip(target, 0, logits.shape[-1] - 1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    c = logits.shape[-1]
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.clip(target, 0, c - 1)
+    zt = jnp.sum(logits * jax.nn.one_hot(tgt, c, dtype=jnp.float32), axis=-1)
+    nll = lse - zt
     if label_smoothing > 0.0:
-        smooth = -jnp.mean(logp, axis=-1)
+        smooth = lse - jnp.mean(logits, axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     w = valid.astype(jnp.float32)
     return LossOut(jnp.sum(nll * w), jnp.sum(w))

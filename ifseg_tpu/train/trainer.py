@@ -312,10 +312,12 @@ class Trainer:
         for k, v in batch.items():
             if v is None:
                 continue
-            if isinstance(v, jax.Array) and ufreq == 1:
-                # already device-resident (e.g. a re-fed batch): never pull it
-                # back to host — np.asarray on a device array is a full
-                # round trip through the transfer path per step
+            if isinstance(v, jax.Array):
+                # already device-resident (a prepare_batch output or a re-fed
+                # batch): never pull it back to host — np.asarray on a device
+                # array is a full round trip through the transfer path per
+                # step.  With ufreq > 1 a prepared batch already carries the
+                # (ufreq, B, ...) microbatch axis.
                 out[k] = v
                 continue
             v = np.asarray(v)

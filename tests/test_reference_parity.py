@@ -674,3 +674,131 @@ def test_full_context_alignment_parity(setup):
         deterministic=True,
     )
     np.testing.assert_allclose(np.asarray(logits), want, atol=5e-4, rtol=1e-3)
+
+
+# --------------------------------------- adapters + prefix prompts (round 2)
+
+
+def o_adapter(sd, p, x):
+    """unify_transformer_layer.py:49-94 Adapter_Layer (scale=1.0, no dropout):
+    x + up_proj(relu(down_proj(x)))."""
+    down = F.relu(o_linear(sd, p + ".down_proj", x))
+    return x + o_linear(sd, p + ".up_proj", down)
+
+
+def test_adapter_layer_parity():
+    """Encoder layer with --adapter vs the torch expression (adapter applied
+    to the FFN output before the residual, ref :285-289)."""
+    from ifseg_tpu.models.layers import EncoderLayer
+
+    a = A()
+    rng = np.random.default_rng(11)
+    b, l, d = 2, 6, a.embed_dim
+    layer = EncoderLayer(
+        embed_dim=d, ffn_dim=a.ffn_dim, num_heads=a.heads,
+        attn_scale_factor=a.attn_scale_factor, scale_attn=True, scale_fc=True,
+        scale_heads=True, scale_resids=True, dropout=0.0,
+        use_adapter=True, adapter_dim=8,
+    )
+    x = jnp.asarray(rng.normal(size=(b, l, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(a.heads, l, l)), jnp.float32)
+    params = jax.device_get(layer.init(jax.random.PRNGKey(0), x, None, bias)["params"])
+    params = randomize(params, seed=12)
+
+    # flatten the flax layer params into the torch oracle's naming
+    sd = {}
+    for attn in ("self_attn",):
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"L.{attn}.{proj}.weight"] = params[attn][proj]["kernel"].T
+            sd[f"L.{attn}.{proj}.bias"] = params[attn][proj]["bias"]
+        sd["L.self_attn.c_attn"] = params[attn]["c_attn"]
+    for ln in ("self_attn_layer_norm", "attn_ln", "final_layer_norm"):
+        sd[f"L.{ln}.weight"] = params[ln]["scale"]
+        sd[f"L.{ln}.bias"] = params[ln]["bias"]
+    sd["L.fc1.weight"] = params["ffn"]["fc1"]["kernel"].T
+    sd["L.fc1.bias"] = params["ffn"]["fc1"]["bias"]
+    sd["L.fc2.weight"] = params["ffn"]["fc2"]["kernel"].T
+    sd["L.fc2.bias"] = params["ffn"]["fc2"]["bias"]
+    sd["L.ffn_layernorm.weight"] = params["ffn"]["ffn_layernorm"]["scale"]
+    sd["L.ffn_layernorm.bias"] = params["ffn"]["ffn_layernorm"]["bias"]
+    sd["L.adapter.down_proj.weight"] = params["adapter"]["down_proj"]["kernel"].T
+    sd["L.adapter.down_proj.bias"] = params["adapter"]["down_proj"]["bias"]
+    sd["L.adapter.up_proj.weight"] = params["adapter"]["up_proj"]["kernel"].T
+    sd["L.adapter.up_proj.bias"] = params["adapter"]["up_proj"]["bias"]
+    sd["L.w_resid"] = params["w_resid"]
+
+    got = layer.apply({"params": params}, x, None, bias, True)
+
+    a2 = A()
+    xt = torch.tensor(np.asarray(x)).transpose(0, 1)  # (T, B, D)
+    bias_t = torch.tensor(np.asarray(bias)).repeat(b, 1, 1)  # (B*H, L, L)
+    with torch.no_grad():
+        # o_encoder_layer without adapter, then re-derive with adapter inline
+        residual = xt
+        y = o_ln(sd, "L.self_attn_layer_norm", xt)
+        y = o_mha(sd, "L.self_attn", a2, y, y, attn_bias=bias_t)
+        y = o_ln(sd, "L.attn_ln", y)
+        xt2 = residual + y
+        residual = xt2
+        y = o_ln(sd, "L.final_layer_norm", xt2)
+        y = o_ffn(sd, "L", a2, y)
+        y = o_adapter(sd, "L.adapter", y)
+        residual = residual * t(sd, "L.w_resid")
+        want = (residual + y).transpose(0, 1).numpy()
+
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_prompt_kv_oracle_parity():
+    """MultiheadAttention prompt-KV prepend vs the reference's semantics
+    (unify_multihead_attention.py:453-459: prompt rows prepended to K/V
+    after projection; attn_bias applies to the trailing src_len keys)."""
+    from ifseg_tpu.models.attention import MultiheadAttention
+
+    a = A()
+    rng = np.random.default_rng(13)
+    b, l, d, p_len = 2, 6, a.embed_dim, 3
+    hd = d // a.heads
+    x = jnp.asarray(rng.normal(size=(b, l, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(a.heads, l, l)), jnp.float32)
+    prompt_kv = jnp.asarray(rng.normal(size=(2, a.heads, p_len, hd)), jnp.float32)
+
+    mha = MultiheadAttention(d, a.heads, scale_factor=a.attn_scale_factor,
+                             scale_heads=True)
+    params = jax.device_get(mha.init(jax.random.PRNGKey(0), x, bias=bias)["params"])
+    got = mha.apply({"params": params}, x, bias=bias, prompt_kv=prompt_kv)
+
+    sd = {}
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        sd[f"M.{proj}.weight"] = params[proj]["kernel"].T
+        sd[f"M.{proj}.bias"] = params[proj]["bias"]
+    sd["M.c_attn"] = params["c_attn"]
+
+    with torch.no_grad():
+        xt = torch.tensor(np.asarray(x)).transpose(0, 1)  # (T, B, D)
+        tgt_len, bsz, _ = xt.shape
+        scaling = float(hd * a.attn_scale_factor) ** -0.5
+        q = o_linear(sd, "M.q_proj", xt) * scaling
+        k = o_linear(sd, "M.k_proj", xt)
+        v = o_linear(sd, "M.v_proj", xt)
+        q = q.contiguous().view(tgt_len, bsz * a.heads, hd).transpose(0, 1)
+        k = k.contiguous().view(-1, bsz * a.heads, hd).transpose(0, 1)
+        v = v.contiguous().view(-1, bsz * a.heads, hd).transpose(0, 1)
+        src_len = k.size(1)  # BEFORE the prompt prepend (ref :383)
+        # prompt_kv (2, H, P, hd) -> (B*H, P, hd) rows shared across batch
+        pk = torch.tensor(np.asarray(prompt_kv[0])).repeat(bsz, 1, 1)
+        pv = torch.tensor(np.asarray(prompt_kv[1])).repeat(bsz, 1, 1)
+        k = torch.cat([pk, k], dim=1)
+        v = torch.cat([pv, v], dim=1)
+        w = torch.bmm(q, k.transpose(1, 2))
+        bias_t = torch.tensor(np.asarray(bias)).repeat(bsz, 1, 1)
+        w[:, :, -src_len:] += bias_t  # ref :464-465
+        probs = F.softmax(w, dim=-1)
+        attn = torch.bmm(probs, v)
+        attn = attn.transpose(0, 1).contiguous().view(tgt_len, bsz, d)
+        attn = attn.view(tgt_len, bsz, a.heads, hd)
+        attn = torch.einsum("tbhd,h->tbhd", attn, t(sd, "M.c_attn"))
+        attn = attn.reshape(tgt_len, bsz, d)
+        want = o_linear(sd, "M.out_proj", attn).transpose(0, 1).numpy()
+
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
