@@ -357,17 +357,14 @@ def _fwd(q, k, v, bias, key_padding_mask, causal):
 
 
 # Backward implementation, A/B-measured on v5e at the reference train config
-# (OFA-Base, 512px, batch 16; see README perf table):
-#   remat + xla      1.50 s/step   <- default
-#   remat + pallas   2.68 s/step
-#   no-remat+pallas  3.18 s/step
-# "xla" recomputes attention via einsums under per-layer remat — XLA fuses
-# the softmax backward better than the hand-written streaming kernels at
-# these lengths; "pallas" (no (B,H,Lq,Lk) HBM tensor) remains available for
-# longer sequences where the logits no longer fit.
+# (OFA-Base, 512px, batch 16, one-hot CE, uploads overlapped; README table):
+#   remat + pallas   0.61 s/step   <- default (streaming kernels, no
+#                                     (B,H,Lq,Lk) HBM logits tensor)
+#   remat + xla      0.70 s/step   (einsum recompute; materializes fp32
+#                                     logits under remat)
 import os as _os
 
-BACKWARD_IMPL = _os.environ.get("IFSEG_FLASH_BACKWARD", "xla")
+BACKWARD_IMPL = _os.environ.get("IFSEG_FLASH_BACKWARD", "pallas")
 
 
 def _bwd(causal, res, g):

@@ -70,9 +70,19 @@ class Trainer:
 
         self.plan = plan_from_config(cfg.distributed, self.mesh)
         self.model = SegOFA(cfg.model, plan=self.plan)
-        self.class_tokens = jnp.asarray(class_tokens) if class_tokens is not None else None
+        # class tables are replicated constants: committing the sharding here
+        # avoids an XLA "involuntary full rematerialization" transition when
+        # the jitted step infers a batch-style layout for them
+        rep = replicated(self.mesh)
+        self.class_tokens = (
+            jax.device_put(jnp.asarray(class_tokens), rep)
+            if class_tokens is not None
+            else None
+        )
         self.class_lengths = (
-            jnp.asarray(class_lengths) if class_lengths is not None else None
+            jax.device_put(jnp.asarray(class_lengths), rep)
+            if class_lengths is not None
+            else None
         )
         self.total_num_updates = total_num_updates
         self._rng = rng if rng is not None else jax.random.PRNGKey(cfg.optimization.seed)
