@@ -77,6 +77,16 @@ def main(cfg: Config) -> None:
     start_epoch, resume_iter = restore_training_state(cfg, trainer, ckpt)
     evaluator = Evaluator(cfg, trainer.model, trainer.mesh)
 
+    plateau = None
+    if cfg.optimization.lr_scheduler == "reduce_lr_on_plateau":
+        from ifseg_tpu.train.optim import ReduceLROnPlateau
+
+        plateau = ReduceLROnPlateau(
+            shrink=cfg.optimization.lr_shrink,
+            patience=cfg.optimization.lr_patience,
+            maximize=cfg.checkpoint.maximize_best_checkpoint_metric,
+        )
+
     for epoch in range(start_epoch, cfg.optimization.max_epoch + 1):
         train_epoch(
             cfg, task, trainer, epoch, ckpt=ckpt,
@@ -84,6 +94,10 @@ def main(cfg: Config) -> None:
         )
         val = validate(cfg, task, trainer, epoch, evaluator)
         metric = val.get(cfg.checkpoint.best_checkpoint_metric)
+        if plateau is not None and metric is not None:
+            scale = plateau.step(float(metric))
+            trainer.set_lr_scale(scale)
+            logger.info("plateau lr scale: %s", scale)
         if epoch % cfg.checkpoint.save_interval == 0:
             ckpt.save(
                 epoch,

@@ -232,7 +232,12 @@ class CriterionConfig:
 class OptimizationConfig:
     lr: float = 5e-5
     optimizer: str = "adam"  # adam | adafactor
-    lr_scheduler: str = "cosine"  # cosine | inverse_sqrt | polynomial_decay | fixed
+    # cosine | inverse_sqrt | polynomial_decay | fixed | pass_through |
+    # manual | triangular | tri_stage | reduce_lr_on_plateau
+    lr_scheduler: str = "cosine"
+    # reduce_lr_on_plateau knobs (optim/lr_scheduler/reduce_lr_on_plateau.py)
+    lr_shrink: float = 0.1
+    lr_patience: int = 0
     warmup_ratio: float = 0.0
     warmup_updates: int = 0
     weight_decay: float = 0.1

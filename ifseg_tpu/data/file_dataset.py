@@ -1,7 +1,8 @@
 """Seekable TSV dataset with a cached offset index and process sharding.
 
 Capability parity with the reference `data/file_dataset.py`:
-  - newline-offset index built once and cached as ``<file>.index`` with a
+  - newline-offset index built once and cached as ``<file>.index.json``
+    (stamped with the source's size+mtime; stale caches rebuild) with a
     ``.working`` rendezvous flag so only one process sweeps the file
     (ref :53-84)
   - contiguous rank slicing: each process owns ``total // world`` rows with the
@@ -86,29 +87,45 @@ class FileDataset:
         cache_path = f"{self.file_path}.index.json"
         working = Path(f"{cache_path}.working")
         is_master = self.slice_id == 0
+        st = os.stat(self.file_path)
+        stamp = {"size": st.st_size, "mtime": st.st_mtime}
+
+        def _read_valid():
+            """Offsets if the cache exists AND matches the source file's
+            size+mtime stamp (a regenerated TSV must invalidate the index —
+            stale offsets read garbage mid-row)."""
+            try:
+                with open(cache_path) as fp:
+                    payload = json.load(fp)
+            except (json.JSONDecodeError, OSError, FileNotFoundError):
+                return None
+            if (
+                not isinstance(payload, dict)
+                or payload.get("size") != stamp["size"]
+                or payload.get("mtime") != stamp["mtime"]
+            ):
+                return None  # legacy bare-list format or stale — rebuild
+            return payload["offsets"]
+
         deadline = time.time() + 600
-        while not os.path.exists(cache_path):
+        offsets = _read_valid()
+        while offsets is None:
             if is_master:
                 try:
                     working.touch()
-                    offsets = _build_offsets(self.file_path)
+                    built = _build_offsets(self.file_path)
                     with open(working, "w") as fp:
-                        json.dump(offsets, fp)
+                        json.dump({**stamp, "offsets": built}, fp)
                     working.rename(cache_path)
                 except OSError:
                     pass
-            if os.path.exists(cache_path):
+            offsets = _read_valid()
+            if offsets is not None:
                 break
             if time.time() > deadline:
                 raise TimeoutError(f"timed out waiting for index {cache_path}")
             time.sleep(1)
-        while True:
-            try:
-                with open(cache_path) as fp:
-                    self.lineid_to_offset = json.load(fp)
-                break
-            except (json.JSONDecodeError, OSError):
-                time.sleep(1)
+        self.lineid_to_offset = offsets
         self.total_row_count = len(self.lineid_to_offset)
 
     def _compute_start_pos_and_row_count(self) -> None:

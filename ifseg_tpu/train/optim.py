@@ -99,11 +99,106 @@ def fixed_schedule(lr: float):
     return lambda step: jnp.asarray(lr, jnp.float32)
 
 
+def manual_schedule(lr: float, epoch_boundaries=(), epoch_lrs=(), updates_per_epoch=1):
+    """optim/lr_scheduler/manual_lr_scheduler.py: piecewise-constant lr from
+    an explicit (epoch -> lr) table, here keyed by update via
+    updates_per_epoch (static shapes: the table is baked into the jit)."""
+    bounds = jnp.asarray(
+        [b * updates_per_epoch for b in epoch_boundaries], jnp.float32
+    )
+    lrs = jnp.asarray((lr,) + tuple(epoch_lrs), jnp.float32)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        idx = jnp.sum((step >= bounds).astype(jnp.int32)) if len(epoch_boundaries) else 0
+        return lrs[idx]
+
+    return schedule
+
+
+def triangular_schedule(lr: float, max_lr: float, period: int = 1000,
+                        shrink_factor: float = 1.0):
+    """optim/lr_scheduler/triangular_lr_scheduler.py: cyclical lr between
+    ``lr`` and ``max_lr`` with optional per-cycle shrink."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle = jnp.floor(1.0 + step / (2.0 * period))
+        x = jnp.abs(step / period - 2.0 * cycle + 1.0)
+        shrink = shrink_factor ** (cycle - 1.0)
+        return lr + (max_lr * shrink - lr) * jnp.maximum(0.0, 1.0 - x)
+
+    return schedule
+
+
+def tri_stage_schedule(lr: float, init_lr_scale: float = 0.01,
+                       final_lr_scale: float = 0.01, warmup_steps: int = 0,
+                       hold_steps: int = 0, decay_steps: int = 0):
+    """optim/lr_scheduler/tri_stage_lr_scheduler.py: warmup -> hold ->
+    exponential decay to final_lr_scale * lr."""
+    init_lr = init_lr_scale * lr
+    final_lr = final_lr_scale * lr
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = init_lr + (lr - init_lr) * jnp.minimum(
+            step / max(warmup_steps, 1), 1.0
+        )
+        t_decay = jnp.clip(step - warmup_steps - hold_steps, 0.0, None)
+        frac = jnp.minimum(t_decay / max(decay_steps, 1), 1.0)
+        decay = lr * jnp.exp(jnp.log(jnp.maximum(final_lr_scale, 1e-12)) * frac)
+        in_warm = step < warmup_steps
+        in_hold = step < warmup_steps + hold_steps
+        return jnp.where(in_warm, warm, jnp.where(in_hold, lr, decay))
+
+    return schedule
+
+
+class ReduceLROnPlateau:
+    """optim/lr_scheduler/reduce_lr_on_plateau.py semantics as a host-side
+    controller: call ``step(val_metric)`` after each validation; when the
+    metric fails to improve for ``patience`` validations the lr SCALE shrinks
+    by ``shrink``.  The scale lives in the optimizer state
+    (FairseqAdamState.lr_scale) so the jitted step picks it up without
+    recompiling — apply with ``trainer.set_lr_scale(sched.scale)``."""
+
+    def __init__(self, shrink: float = 0.1, patience: int = 0,
+                 threshold: float = 1e-4, maximize: bool = False):
+        self.shrink = shrink
+        self.patience = patience
+        self.threshold = threshold
+        self.maximize = maximize
+        self.best = None
+        self.bad_count = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        better = (
+            self.best is None
+            or (self.maximize and metric > self.best + self.threshold)
+            or (not self.maximize and metric < self.best - self.threshold)
+        )
+        if better:
+            self.best = metric
+            self.bad_count = 0
+        else:
+            self.bad_count += 1
+            if self.bad_count > self.patience:
+                self.scale *= self.shrink
+                self.bad_count = 0
+        return self.scale
+
+
 SCHEDULERS = {
     "cosine": "cosine_schedule",
     "inverse_sqrt": "inverse_sqrt_schedule",
     "polynomial_decay": "polynomial_decay_schedule",
     "fixed": "fixed_schedule",
+    "pass_through": "fixed_schedule",  # optim/lr_scheduler/pass_through.py
+    "manual": "manual_schedule",
+    "triangular": "triangular_schedule",
+    "tri_stage": "tri_stage_schedule",
+    "reduce_lr_on_plateau": "fixed_schedule (+ ReduceLROnPlateau host controller)",
 }
 
 
@@ -124,8 +219,24 @@ def build_schedule(name: str, lr: float, total_num_updates: int, opt_cfg=None):
             warmup_updates=getattr(opt_cfg, "warmup_updates", 0),
             warmup_ratio=getattr(opt_cfg, "warmup_ratio", 0.0),
         )
-    if name == "fixed":
+    if name in ("fixed", "pass_through", "reduce_lr_on_plateau"):
+        # plateau: the base lr is fixed, the ReduceLROnPlateau host
+        # controller drives the optimizer-state lr scale
         return fixed_schedule(lr)
+    if name == "triangular":
+        return triangular_schedule(
+            lr, max_lr=getattr(opt_cfg, "max_lr", lr * 10),
+            period=getattr(opt_cfg, "lr_period_updates", 1000) or 1000,
+        )
+    if name == "tri_stage":
+        wu = getattr(opt_cfg, "warmup_updates", 0)
+        return tri_stage_schedule(
+            lr, warmup_steps=wu,
+            hold_steps=getattr(opt_cfg, "hold_updates", 0),
+            decay_steps=max(total_num_updates - wu, 1),
+        )
+    if name == "manual":
+        return manual_schedule(lr)
     raise ValueError(f"unknown lr scheduler {name}; known: {sorted(SCHEDULERS)}")
 
 
@@ -182,6 +293,9 @@ class FairseqAdamState(NamedTuple):
     count: jnp.ndarray
     mu: Any
     nu: Any
+    # host-adjustable multiplier on the schedule (ReduceLROnPlateau's lever;
+    # lives in optimizer state so changing it doesn't recompile the step)
+    lr_scale: jnp.ndarray = jnp.ones((), jnp.float32)
 
 
 def fairseq_adam(
@@ -200,12 +314,13 @@ def fairseq_adam(
             count=jnp.zeros((), jnp.int32),
             mu=jax.tree_util.tree_map(z, params),
             nu=jax.tree_util.tree_map(z, params),
+            lr_scale=jnp.ones((), jnp.float32),
         )
 
     def update(grads, state, params):
         count = state.count + 1
         t = count.astype(jnp.float32)
-        lr = learning_rate(state.count)
+        lr = learning_rate(state.count) * state.lr_scale
         bc = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
 
         tm = jax.tree_util.tree_map
@@ -223,9 +338,22 @@ def fairseq_adam(
             return (-s).astype(p.dtype)
 
         updates = tm(step, mu, nu, params)
-        return updates, FairseqAdamState(count, mu, nu)
+        return updates, FairseqAdamState(count, mu, nu, state.lr_scale)
 
     return optax.GradientTransformation(init, update)
+
+
+def set_lr_scale(opt_state, scale: float):
+    """Replace the lr_scale scalar in (possibly nested) FairseqAdamState
+    leaves — the ReduceLROnPlateau application hook."""
+    is_adam = lambda n: isinstance(n, FairseqAdamState)
+
+    def repl(node):
+        if is_adam(node):
+            return node._replace(lr_scale=jnp.asarray(scale, jnp.float32))
+        return node
+
+    return jax.tree_util.tree_map(repl, opt_state, is_leaf=is_adam)
 
 
 def clip_by_global_norm(grads, clip_norm: float):

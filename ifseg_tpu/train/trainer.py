@@ -387,5 +387,12 @@ class Trainer:
     def get_lr(self) -> float:
         return float(self.schedule(self.state.step))
 
+    def set_lr_scale(self, scale: float) -> None:
+        """Apply a ReduceLROnPlateau decision without recompiling the step
+        (the scale is an optimizer-state scalar, train/optim.py)."""
+        self.state = self.state.replace(
+            opt_state=optim_lib.set_lr_scale(self.state.opt_state, scale)
+        )
+
     def get_num_updates(self) -> int:
         return int(self.state.step)

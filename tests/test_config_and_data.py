@@ -85,6 +85,23 @@ def test_file_dataset_index_cache(tsv):
     assert ds2[7] == ["img7", "seg7", "7"]
 
 
+def test_file_dataset_stale_index_invalidated(tsv):
+    import os
+    import time
+
+    FileDataset(tsv, "0,1,2", cached_index=True)
+    assert os.path.exists(tsv + ".index.json")
+    # regenerate the TSV with different row lengths: the cached offsets are
+    # now garbage and must be rebuilt, not reused
+    rows = [f"longerimg{i}\tlongerseg{i}\t{i}" for i in range(6)]
+    time.sleep(0.01)  # ensure mtime moves even on coarse filesystems
+    with open(tsv, "w") as fp:
+        fp.write("\n".join(rows) + "\n")
+    ds = FileDataset(tsv, "0,1,2", cached_index=True)
+    assert len(ds) == 6
+    assert ds[4] == ["longerimg4", "longerseg4", "4"]
+
+
 def test_iterator_resume_mid_epoch():
     made = []
 

@@ -1,0 +1,70 @@
+"""Round-2 LR scheduler additions (optim/lr_scheduler coverage):
+pass_through, manual, triangular, tri_stage, reduce_lr_on_plateau."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ifseg_tpu.train.optim import (
+    ReduceLROnPlateau,
+    build_schedule,
+    manual_schedule,
+    set_lr_scale,
+    tri_stage_schedule,
+    triangular_schedule,
+    fairseq_adam,
+)
+
+
+def test_manual_schedule_piecewise():
+    s = manual_schedule(0.1, epoch_boundaries=(2, 5), epoch_lrs=(0.05, 0.01),
+                        updates_per_epoch=10)
+    assert np.isclose(float(s(0)), 0.1)
+    assert np.isclose(float(s(19)), 0.1)
+    assert np.isclose(float(s(20)), 0.05)
+    assert np.isclose(float(s(50)), 0.01)
+
+
+def test_triangular_cycles():
+    s = triangular_schedule(0.01, max_lr=0.1, period=100)
+    assert np.isclose(float(s(0)), 0.01)
+    assert np.isclose(float(s(100)), 0.1)
+    assert np.isclose(float(s(200)), 0.01)
+    assert float(s(50)) > float(s(0))
+
+
+def test_tri_stage_phases():
+    s = tri_stage_schedule(0.1, init_lr_scale=0.01, final_lr_scale=0.01,
+                           warmup_steps=10, hold_steps=10, decay_steps=100)
+    assert np.isclose(float(s(0)), 0.001)
+    assert np.isclose(float(s(10)), 0.1)
+    assert np.isclose(float(s(15)), 0.1)  # hold
+    assert np.isclose(float(s(120)), 0.001, rtol=1e-3)  # fully decayed
+
+
+def test_build_schedule_new_names():
+    for name in ("pass_through", "manual", "triangular", "tri_stage",
+                 "reduce_lr_on_plateau"):
+        s = build_schedule(name, 0.01, 100, None)
+        assert np.isfinite(float(s(0)))
+
+
+def test_plateau_controller_and_lr_scale():
+    sched = ReduceLROnPlateau(shrink=0.5, patience=1, maximize=True)
+    assert sched.step(0.5) == 1.0  # first observation
+    assert sched.step(0.6) == 1.0  # improved
+    assert sched.step(0.55) == 1.0  # 1 bad (within patience)
+    assert sched.step(0.55) == 0.5  # 2 bad -> shrink
+    assert sched.step(0.9) == 0.5  # improvement keeps current scale
+
+    # the scale reaches the adam update through the optimizer state
+    tx = fairseq_adam(lambda step: jnp.asarray(0.1, jnp.float32))
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.ones((4,), jnp.float32)}
+    st = tx.init(params)
+    up_full, _ = tx.update(grads, st, params)
+    st_half = set_lr_scale(st, 0.5)
+    up_half, _ = tx.update(grads, st_half, params)
+    np.testing.assert_allclose(
+        np.asarray(up_half["w"]), 0.5 * np.asarray(up_full["w"]), rtol=1e-6
+    )
