@@ -231,7 +231,13 @@ class CriterionConfig:
 @dataclass
 class OptimizationConfig:
     lr: float = 5e-5
-    optimizer: str = "adam"  # adam | adafactor
+    # adam | adafactor | lamb | sgd | nag | adagrad | adadelta | adamax |
+    # composite (optim/ registry; composite routes param groups by regex)
+    optimizer: str = "adam"
+    # composite spec: "regex=opt@lr,regex=opt@lr"; unmatched -> composite_base
+    composite_groups: str = ""
+    composite_base: str = "adam"
+    momentum: float = 0.0  # sgd/nag
     # cosine | inverse_sqrt | polynomial_decay | fixed | pass_through |
     # manual | triangular | tri_stage | reduce_lr_on_plateau
     lr_scheduler: str = "cosine"

@@ -343,6 +343,138 @@ def fairseq_adam(
     return optax.GradientTransformation(init, update)
 
 
+class LambState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def lamb(
+    learning_rate: Callable,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """LAMB (optim/fused_lamb.py -> apex FusedLAMB semantics): Adam moments
+    with bias correction, decoupled weight decay inside the update, and a
+    per-tensor trust ratio ||p|| / ||update|| scaling the step."""
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+        return LambState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params),
+        )
+
+    def update(grads, state, params):
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        lr = learning_rate(state.count)
+        tm = jax.tree_util.tree_map
+        mu = tm(lambda g, m: b1 * m + (1 - b1) * g.astype(jnp.float32), grads, state.mu)
+        nu = tm(
+            lambda g, v: b2 * v + (1 - b2) * jnp.square(g.astype(jnp.float32)),
+            grads, state.nu,
+        )
+
+        def step(m, v, p):
+            mhat = m / (1.0 - b1**t)
+            vhat = v / (1.0 - b2**t)
+            u = mhat / (jnp.sqrt(vhat) + eps)
+            p32 = p.astype(jnp.float32)
+            if weight_decay != 0.0:
+                u = u + weight_decay * p32
+            pn = jnp.linalg.norm(p32)
+            un = jnp.linalg.norm(u)
+            trust = jnp.where((pn > 0.0) & (un > 0.0), pn / un, 1.0)
+            return (-lr * trust * u).astype(p.dtype)
+
+        return tm(step, mu, nu, params), LambState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _single_optimizer(name: str, schedule, opt_cfg):
+    """One optimizer by reference name (optim/ registry)."""
+    wd = getattr(opt_cfg, "weight_decay", 0.0)
+    betas = getattr(opt_cfg, "adam_betas", (0.9, 0.999))
+    if name == "adam":
+        return fairseq_adam(
+            schedule, b1=betas[0], b2=betas[1],
+            eps=getattr(opt_cfg, "adam_eps", 1e-8), weight_decay=wd,
+        )
+    if name == "adafactor":
+        return adafactor(schedule, wd)
+    if name in ("lamb", "fused_lamb"):
+        return lamb(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.sgd(schedule, momentum=getattr(opt_cfg, "momentum", 0.0) or None),
+        )
+    if name == "nag":
+        return optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.sgd(
+                schedule, momentum=getattr(opt_cfg, "momentum", 0.99), nesterov=True
+            ),
+        )
+    if name == "adagrad":
+        return optax.adagrad(schedule)
+    if name == "adadelta":
+        return optax.adadelta(schedule)
+    if name == "adamax":
+        return optax.adamax(schedule, b1=betas[0], b2=betas[1])
+    raise ValueError(f"unknown optimizer {name}")
+
+
+def parse_composite_groups(spec: str):
+    """``regex=opt@lr,regex=opt@lr,...`` -> [(regex, opt, lr|None)].  First
+    matching regex wins; params matching no group use the base optimizer."""
+    groups = []
+    for part in filter(None, (p.strip() for p in spec.split(","))):
+        pattern, rhs = part.split("=", 1)
+        opt, _, lr = rhs.partition("@")
+        groups.append((pattern, opt, float(lr) if lr else None))
+    return groups
+
+
+def composite(params, groups, base_name, opt_cfg, total_num_updates):
+    """optim/composite.py: route parameter groups to distinct optimizers
+    (and lrs/schedules).  Groups are selected by regex on the '/'-joined
+    param path; unmatched params fall through to the base optimizer."""
+    import re
+
+    sched_for = lambda lr: build_schedule(
+        getattr(opt_cfg, "lr_scheduler", "cosine"), lr, total_num_updates, opt_cfg
+    )
+    transforms = {
+        "base": _single_optimizer(base_name, sched_for(opt_cfg.lr), opt_cfg)
+    }
+    for i, (pattern, opt, lr) in enumerate(groups):
+        transforms[f"g{i}"] = _single_optimizer(
+            opt, sched_for(opt_cfg.lr if lr is None else lr), opt_cfg
+        )
+
+    compiled = [(re.compile(p), f"g{i}") for i, (p, _, _) in enumerate(groups)]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label(path):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        for rx, lab in compiled:
+            if rx.search(name):
+                return lab
+        return "base"
+
+    labels_flat = [label(path) for path, _ in flat]
+    labels = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), labels_flat
+    )
+    return optax.multi_transform(transforms, labels)
+
+
 def set_lr_scale(opt_state, scale: float):
     """Replace the lr_scale scalar in (possibly nested) FairseqAdamState
     leaves — the ReduceLROnPlateau application hook."""
@@ -448,16 +580,16 @@ def build_optimizer(params, model_cfg, opt_cfg, total_num_updates: int):
         opt_cfg,
     )
     opt_name = getattr(opt_cfg, "optimizer", "adam")
-    if opt_name == "adafactor":
-        inner = adafactor(schedule, opt_cfg.weight_decay)
-    else:
-        inner = fairseq_adam(
-            schedule,
-            b1=opt_cfg.adam_betas[0],
-            b2=opt_cfg.adam_betas[1],
-            eps=opt_cfg.adam_eps,
-            weight_decay=opt_cfg.weight_decay,
+    if opt_name == "composite":
+        inner = composite(
+            params,
+            parse_composite_groups(getattr(opt_cfg, "composite_groups", "")),
+            getattr(opt_cfg, "composite_base", "adam"),
+            opt_cfg,
+            total_num_updates,
         )
+    else:
+        inner = _single_optimizer(opt_name, schedule, opt_cfg)
     mask = freeze_mask(params, model_cfg)
     labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
     tx = optax.multi_transform(
