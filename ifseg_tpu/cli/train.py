@@ -111,8 +111,23 @@ def main(cfg: Config) -> None:
 
 def maybe_restore_pretrained(cfg: Config, trainer: Trainer):
     """--restore-file=ofa_base.pt — torch checkpoint translation
-    (SURVEY.md §7 step 4)."""
-    path = cfg.checkpoint.restore_file
+    (SURVEY.md §7 step 4).  --finetune-from-model=path starts a FRESH run
+    (optimizer/dataloader/meters reset) from pretrained weights and must not
+    be combined with the reset flags (ref utils/checkpoint_utils.py:205-229)."""
+    finetune = getattr(cfg.checkpoint, "finetune_from_model", "")
+    if finetune:
+        if (
+            cfg.checkpoint.reset_optimizer
+            or cfg.checkpoint.reset_dataloader
+            or cfg.checkpoint.reset_meters
+        ):
+            raise ValueError(
+                "--finetune-from-model can not be set together with "
+                "--reset-optimizer/--reset-dataloader/--reset-meters"
+            )
+        path = finetune
+    else:
+        path = cfg.checkpoint.restore_file
     if not path or not os.path.exists(path):
         if path:
             logger.warning("restore file %s not found; training from scratch", path)

@@ -46,6 +46,10 @@ class ModelConfig:
     activation_dropout: float = 0.0
     encoder_drop_path_rate: float = 0.1
     decoder_drop_path_rate: float = 0.1
+    # LayerDrop (unify_transformer.py:220-223; LayerDropModuleList): whole
+    # layers skipped iid during training
+    encoder_layerdrop: float = 0.0
+    decoder_layerdrop: float = 0.0
     resnet_drop_path_rate: float = 0.0
 
     # OFA extras (all on in the IFSeg run scripts)
@@ -268,6 +272,10 @@ class OptimizationConfig:
 class CheckpointConfig:
     save_dir: str = "checkpoints"
     restore_file: str = ""
+    # start a fresh run (fresh optimizer/meters/dataloader) from these
+    # pretrained weights; exclusive with the reset flags
+    # (utils/checkpoint_utils.py:205-229)
+    finetune_from_model: str = ""
     reset_optimizer: bool = False
     reset_dataloader: bool = False
     reset_meters: bool = False

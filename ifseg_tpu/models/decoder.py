@@ -20,7 +20,7 @@ import numpy as np
 
 from ifseg_tpu.config import ModelConfig
 from ifseg_tpu.ops.resize import bilinear_matrix_dyn, resize_bilinear
-from .encoder import _flash_enabled, _moe_layer, cfg_dtype
+from .encoder import _flash_enabled, _layerdrop, _moe_layer, cfg_dtype
 from .layers import DecoderLayer
 from .position import (
     gather_rel_bias,
@@ -263,11 +263,12 @@ class Decoder(nn.Module):
             )
         else:
             for i, layer in enumerate(self.layers):
-                x = layer(
+                y = layer(
                     x, enc, enc_pad, self_bias_fn(i), cross_bias,
                     self_padding_mask, not full_context_alignment, deterministic,
                     prompt_all[i] if prompt_all is not None else None,
                 )
+                x = _layerdrop(self, cfg.decoder_layerdrop, deterministic, y, x)
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         if features_only:
             return x

@@ -42,6 +42,17 @@ from .resnet import RESNET_LAYERS, ResNetStem
 PAD = 1
 
 
+def _layerdrop(module, rate: float, deterministic: bool, x_new, x_old):
+    """LayerDrop (fairseq LayerDropModuleList; unify_transformer.py:220-223):
+    skip a whole layer iid with prob ``rate`` during training.  The layer is
+    still computed under jit (static graph); its output is discarded, which
+    matches the reference's training dynamics exactly."""
+    if rate == 0.0 or deterministic:
+        return x_new
+    keep = jax.random.bernoulli(module.make_rng("dropout"), 1.0 - rate)
+    return jnp.where(keep, x_new, x_old)
+
+
 def class_mean_embeddings(embed_table, class_tokens, class_lengths):
     """Per-class mean of category-word token embeddings (EmbeddingBag mean mode,
     encoder_module.py:147-148 / :529-542).
@@ -255,9 +266,12 @@ class Encoder(nn.Module):
                 bias = bias0
                 bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)
                 bias = bias.at[:, :hw, :hw].add(img_b)
-                x = layer(
+                y = layer(
                     x, padding_mask, bias, deterministic,
                     prompt_all[i] if prompt_all is not None else None,
+                )
+                x = _layerdrop(
+                    self, cfg.encoder_layerdrop, deterministic, y, x
                 )
         x = self.layer_norm(x).astype(cfg_dtype(cfg))
         return x
