@@ -125,6 +125,11 @@ class ModelConfig:
     # modules/checkpoint_activations.py; required to fit OFA-Base training at
     # 512px batch 16 in one chip's HBM)
     checkpoint_activations: bool = True
+    # remat policy under checkpoint_activations: 'full' recomputes the whole
+    # layer in backward; 'save-attn' additionally saves each attention
+    # kernel's output (~26 MB/layer at OFA-Base 512px) so the backward never
+    # re-runs the flash forward kernels
+    remat_policy: str = "save-attn"
 
     @property
     def head_dim(self) -> int:

@@ -17,6 +17,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 NEG_INF = -1e9
 
@@ -164,6 +165,10 @@ class MultiheadAttention(nn.Module):
         return self._head_gain_and_out(out, dense, b, lq)
 
     def _head_gain_and_out(self, out, dense, b, lq):
+        # remat tag: under --remat-policy=save-attn the backward keeps this
+        # tensor instead of re-running the attention kernel (encoder.py
+        # _remat_policy)
+        out = checkpoint_name(out, "attn_out")
         if self.scale_heads:
             c_attn = self.param(
                 "c_attn", nn.initializers.ones, (self.num_heads,), jnp.float32

@@ -20,7 +20,7 @@ import numpy as np
 
 from ifseg_tpu.config import ModelConfig
 from ifseg_tpu.ops.resize import bilinear_matrix_dyn, resize_bilinear
-from .encoder import _flash_enabled, _layerdrop, _moe_layer, cfg_dtype
+from .encoder import _flash_enabled, _layerdrop, _moe_layer, _remat_policy, cfg_dtype
 from .layers import DecoderLayer
 from .position import (
     gather_rel_bias,
@@ -88,7 +88,9 @@ class Decoder(nn.Module):
         dpr = np.linspace(0, cfg.decoder_drop_path_rate, nlayers)
         # causal + deterministic (last two call args) are static under remat
         layer_cls = (
-            nn.remat(DecoderLayer, static_argnums=(7, 8))
+            nn.remat(
+                DecoderLayer, static_argnums=(7, 8), policy=_remat_policy(cfg)
+            )
             if cfg.checkpoint_activations
             else DecoderLayer
         )

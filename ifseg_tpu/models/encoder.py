@@ -42,6 +42,20 @@ from .resnet import RESNET_LAYERS, ResNetStem
 PAD = 1
 
 
+def _remat_policy(cfg: "ModelConfig"):
+    """Checkpoint policy for nn.remat (cfg.remat_policy): 'save-attn' keeps
+    each attention kernel's output (tagged 'attn_out' in attention.py) so the
+    backward recomputes only matmuls/LNs, never the flash kernels."""
+    policy = getattr(cfg, "remat_policy", "full")
+    if policy == "save-attn":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if policy == "save-attn-ffn":
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "ffn_act"
+        )
+    return None  # full recompute
+
+
 def _layerdrop(module, rate: float, deterministic: bool, x_new, x_old):
     """LayerDrop (fairseq LayerDropModuleList; unify_transformer.py:220-223):
     skip a whole layer iid with prob ``rate`` during training.  The layer is
@@ -105,7 +119,9 @@ class Encoder(nn.Module):
         # deterministic (last call arg) is static; remat recomputes each
         # layer's forward during backward instead of keeping activations
         layer_cls = (
-            nn.remat(EncoderLayer, static_argnums=(4,))
+            nn.remat(
+                EncoderLayer, static_argnums=(4,), policy=_remat_policy(cfg)
+            )
             if cfg.checkpoint_activations
             else EncoderLayer
         )

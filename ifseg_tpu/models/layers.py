@@ -10,6 +10,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .attention import MultiheadAttention
 
@@ -128,6 +129,9 @@ class FeedForward(nn.Module):
             act = getattr(nn, self.activation_fn)
         x = nn.Dense(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
         x = act(x)
+        # remat tag (encoder.py _remat_policy 'save-attn-ffn'): saving the
+        # post-gelu activation skips the fc1 matmul + erf recompute in backward
+        x = checkpoint_name(x, "ffn_act")
         if self.activation_dropout > 0.0:
             x = nn.Dropout(self.activation_dropout)(x, deterministic=deterministic)
         if self.scale_fc:
