@@ -116,10 +116,18 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if self.activation_fn == "gelu":
+        if self.activation_fn in ("gelu", "gelu_exact"):
             # fairseq's gelu is the exact erf form (torch F.gelu default);
             # flax nn.gelu defaults to the tanh approximation
             act = lambda v: nn.gelu(v, approximate=False)
+        elif self.activation_fn == "gelu_poly":
+            # bf16-faithful piecewise polynomial (ops/gelu.py): measured
+            # SLOWER than erf inside the fc1 fusion on v5e (the branchless
+            # piecewise costs more VPU ops than XLA's erf) — kept opt-in for
+            # backends where erf is the bottleneck
+            from ifseg_tpu.ops.gelu import gelu_poly
+
+            act = gelu_poly
         elif self.activation_fn == "gelu_tanh":
             # opt-in speed knob: erf is not hardware-accelerated on the VPU
             # and costs ~1.1 ms per FFN at the 512px serving shape; the tanh
