@@ -79,19 +79,24 @@ class SegService:
         logger.info("compiled serving program (batch=%d, %dpx)", self.max_batch, self.size)
 
     def _preprocess(self, data: bytes):
+        # the network consumes RGB (training normalizes RGB after the
+        # BGR-ordered augs flip back, segmentation_dataset.py; infer.py:140)
         image = Image.open(io.BytesIO(data)).convert("RGB")
         w0, h0 = image.size
-        arr = np.asarray(image.resize((self.size, self.size), Image.BILINEAR))
-        bgr = arr[:, :, ::-1].astype(np.float32) / 255.0
-        return (bgr - 0.5) / 0.5, (h0, w0)
+        rgb = np.asarray(image.resize((self.size, self.size), Image.BILINEAR))
+        rgb = rgb.astype(np.float32) / 255.0
+        return (rgb - 0.5) / 0.5, (h0, w0)
 
-    def submit(self, data: bytes):
+    def submit(self, data: bytes, timeout: float = 120.0):
         """Blocking: preprocess, enqueue, wait for the batch worker."""
         net_in, orig = self._preprocess(data)
         ev = threading.Event()
-        slot = {"img": net_in, "ev": ev, "mask": None}
+        slot = {"img": net_in, "ev": ev, "mask": None, "error": None}
         self._q.put(slot)
-        ev.wait()
+        if not ev.wait(timeout):
+            raise RuntimeError("segmentation worker timed out")
+        if slot["error"] is not None:
+            raise RuntimeError(f"segmentation worker failed: {slot['error']}")
         mask = slot["mask"]  # (grid, grid) int class ids
         return mask, orig
 
@@ -109,16 +114,25 @@ class SegService:
                 except queue.Empty:
                     break
             n = len(batch)
-            imgs = np.zeros((self.max_batch, self.size, self.size, 3), np.float32)
-            for i, slot in enumerate(batch):
-                imgs[i] = slot["img"]
-            out = np.asarray(
-                self._fwd(self._params, self._pre, self.src, imgs, self._bos)
-            )
-            g = self.grid
-            for i, slot in enumerate(batch):
-                slot["mask"] = out[i].reshape(g, g).astype(np.int32)
-                slot["ev"].set()
+            try:
+                imgs = np.zeros((self.max_batch, self.size, self.size, 3), np.float32)
+                for i, slot in enumerate(batch):
+                    imgs[i] = slot["img"]
+                out = np.asarray(
+                    self._fwd(self._params, self._pre, self.src, imgs, self._bos)
+                )
+                g = self.grid
+                for i, slot in enumerate(batch):
+                    slot["mask"] = out[i].reshape(g, g).astype(np.int32)
+            except Exception as e:  # device failure etc.: fail the batch, not
+                # the worker — pending requests get a 500 instead of a wedge
+                logger.exception("batched forward failed")
+                for slot in batch:
+                    slot["error"] = repr(e)
+                self.stats["errors"] = self.stats.get("errors", 0) + n
+            finally:
+                for slot in batch:
+                    slot["ev"].set()
             self.stats["requests"] += n
             self.stats["batches"] += 1
             self.stats["batched_requests"] += n if n > 1 else 0
@@ -153,6 +167,9 @@ def _make_handler(svc: SegService):
             data = self.rfile.read(length)
             try:
                 mask, (h0, w0) = svc.submit(data)
+            except RuntimeError as e:  # worker/device failure
+                self._send(500, json.dumps({"error": str(e)[:200]}).encode())
+                return
             except Exception as e:  # bad image etc.
                 self._send(400, json.dumps({"error": str(e)[:200]}).encode())
                 return

@@ -253,6 +253,14 @@ class OptimizationConfig:
     # reduce_lr_on_plateau knobs (optim/lr_scheduler/reduce_lr_on_plateau.py)
     lr_shrink: float = 0.1
     lr_patience: int = 0
+    # manual scheduler: "epoch:lr,epoch:lr" — lr applies FROM that epoch on
+    # (optim/lr_scheduler/manual_lr_scheduler.py epoch2lr)
+    manual_lr_schedule: str = ""
+    # triangular scheduler (optim/lr_scheduler/triangular_lr_scheduler.py)
+    max_lr: float = 0.0  # 0 -> 10*lr
+    lr_period_updates: int = 1000
+    # tri_stage hold phase length in updates
+    hold_updates: int = 0
     warmup_ratio: float = 0.0
     warmup_updates: int = 0
     weight_decay: float = 0.1

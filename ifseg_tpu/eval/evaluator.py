@@ -206,10 +206,17 @@ class Evaluator:
 
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(prefetch, 1))
 
+        producer_error = []
+
         def producer():
-            for i in range(len(dataset)):
-                q.put(dataset.get_eval_sample(i))
-            q.put(None)
+            try:
+                for i in range(len(dataset)):
+                    q.put(dataset.get_eval_sample(i))
+            except Exception as e:  # corrupt row etc.: surface in the
+                # consumer instead of dying silently and hanging q.get()
+                producer_error.append(e)
+            finally:
+                q.put(None)
 
         threading.Thread(target=producer, daemon=True).start()
 
@@ -218,6 +225,10 @@ class Evaluator:
         while True:
             sample = q.get()
             if sample is None:
+                if producer_error:
+                    raise RuntimeError(
+                        "eval sample preprocessing failed"
+                    ) from producer_error[0]
                 break
             skey = (
                 sample.patch_image.shape[:2],

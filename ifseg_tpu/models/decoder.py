@@ -259,6 +259,13 @@ class Decoder(nn.Module):
 
         pp = getattr(self.plan, "pipeline_parallel", 1) if self.plan else 1
         if pp > 1 and not self.is_initializing() and self_padding_mask is None:
+            if cfg.decoder_layerdrop > 0:
+                # see Encoder: the scanned PP stage body has no stochastic
+                # whole-layer skip
+                raise NotImplementedError(
+                    "--decoder-layerdrop is not supported with "
+                    "--pipeline-parallel"
+                )
             x = self._run_layers_pp(
                 x, enc, enc_pad, self_bias_fn, cross_bias, prompt_all,
                 not full_context_alignment, deterministic,
@@ -310,7 +317,10 @@ class Decoder(nn.Module):
             consts["prompt"] = prompt_all.reshape(s, lps, *prompt_all.shape[1:])
 
         bcast = {"cross_bias": cross_bias}
-        if not deterministic and (cfg.dropout > 0 or cfg.attention_dropout > 0):
+        if not deterministic and (
+            cfg.dropout > 0 or cfg.attention_dropout > 0
+            or cfg.activation_dropout > 0
+        ):
             bcast["rng"] = self.make_rng("dropout")
 
         layer_mod = DecoderLayer(

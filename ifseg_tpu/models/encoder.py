@@ -267,6 +267,15 @@ class Encoder(nn.Module):
 
         pp = getattr(self.plan, "pipeline_parallel", 1) if self.plan else 1
         if pp > 1 and not self.is_initializing():
+            if cfg.encoder_layerdrop > 0:
+                # the scanned PP stage body treats layers homogeneously and
+                # does not implement stochastic whole-layer skip — fail loud
+                # rather than silently training different dynamics
+                raise NotImplementedError(
+                    "--encoder-layerdrop is not supported with "
+                    "--pipeline-parallel"
+                )
+
             def bias_fn(i):
                 b_ = bias0
                 b_ = b_.at[:, l_total - src_len :, l_total - src_len :].add(tok_all[i])
@@ -332,7 +341,10 @@ class Encoder(nn.Module):
             )
 
         bcast = None
-        if not deterministic and (cfg.dropout > 0 or cfg.attention_dropout > 0):
+        if not deterministic and (
+            cfg.dropout > 0 or cfg.attention_dropout > 0
+            or cfg.activation_dropout > 0
+        ):
             bcast = {"rng": self.make_rng("dropout")}
 
         layer_mod = EncoderLayer(

@@ -225,8 +225,9 @@ def build_schedule(name: str, lr: float, total_num_updates: int, opt_cfg=None):
         return fixed_schedule(lr)
     if name == "triangular":
         return triangular_schedule(
-            lr, max_lr=getattr(opt_cfg, "max_lr", lr * 10),
+            lr, max_lr=getattr(opt_cfg, "max_lr", 0.0) or lr * 10,
             period=getattr(opt_cfg, "lr_period_updates", 1000) or 1000,
+            shrink_factor=getattr(opt_cfg, "lr_shrink", 1.0) or 1.0,
         )
     if name == "tri_stage":
         wu = getattr(opt_cfg, "warmup_updates", 0)
@@ -236,7 +237,21 @@ def build_schedule(name: str, lr: float, total_num_updates: int, opt_cfg=None):
             decay_steps=max(total_num_updates - wu, 1),
         )
     if name == "manual":
-        return manual_schedule(lr)
+        # "--manual-lr-schedule=epoch:lr,epoch:lr" (epoch2lr table); epochs
+        # convert to update counts via total_num_updates / max_epoch
+        spec = getattr(opt_cfg, "manual_lr_schedule", "") or ""
+        boundaries, lrs = [], []
+        for part in filter(None, (p.strip() for p in spec.split(","))):
+            ep, _, v = part.partition(":")
+            boundaries.append(int(ep))
+            lrs.append(float(v))
+        max_epoch = max(getattr(opt_cfg, "max_epoch", 1), 1)
+        return manual_schedule(
+            lr,
+            epoch_boundaries=boundaries,
+            epoch_lrs=lrs,
+            updates_per_epoch=max(total_num_updates // max_epoch, 1),
+        )
     raise ValueError(f"unknown lr scheduler {name}; known: {sorted(SCHEDULERS)}")
 
 
@@ -432,9 +447,13 @@ def _single_optimizer(name: str, schedule, opt_cfg):
 
 def parse_composite_groups(spec: str):
     """``regex=opt@lr,regex=opt@lr,...`` -> [(regex, opt, lr|None)].  First
-    matching regex wins; params matching no group use the base optimizer."""
+    matching regex wins; params matching no group use the base optimizer.
+    Commas inside ``{...}`` belong to regex quantifiers (``layers_[0-9]{1,2}``)
+    and do not split groups."""
+    import re
+
     groups = []
-    for part in filter(None, (p.strip() for p in spec.split(","))):
+    for part in filter(None, (p.strip() for p in re.split(r",(?![^{]*\})", spec))):
         pattern, rhs = part.split("=", 1)
         opt, _, lr = rhs.partition("@")
         groups.append((pattern, opt, float(lr) if lr else None))

@@ -2,6 +2,7 @@
 pass_through, manual, triangular, tri_stage, reduce_lr_on_plateau."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -68,3 +69,37 @@ def test_plateau_controller_and_lr_scale():
     np.testing.assert_allclose(
         np.asarray(up_half["w"]), 0.5 * np.asarray(up_full["w"]), rtol=1e-6
     )
+
+
+def test_manual_schedule_from_config():
+    import types
+
+    from ifseg_tpu.train.optim import build_schedule
+
+    cfg = types.SimpleNamespace(
+        lr_scheduler="manual", manual_lr_schedule="2:0.01, 4:0.001",
+        max_epoch=10, warmup_updates=0, warmup_ratio=0.0,
+    )
+    # 10 epochs x 10 updates each
+    s = build_schedule("manual", 0.1, total_num_updates=100, opt_cfg=cfg)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(19)) == pytest.approx(0.1)      # epoch 1
+    assert float(s(20)) == pytest.approx(0.01)     # epoch 2 boundary
+    assert float(s(39)) == pytest.approx(0.01)
+    assert float(s(40)) == pytest.approx(0.001)    # epoch 4 boundary
+    assert float(s(99)) == pytest.approx(0.001)
+
+
+def test_triangular_schedule_from_config():
+    import types
+
+    from ifseg_tpu.train.optim import build_schedule
+
+    cfg = types.SimpleNamespace(
+        lr_scheduler="triangular", max_lr=0.2, lr_period_updates=10,
+        lr_shrink=1.0, warmup_updates=0, warmup_ratio=0.0,
+    )
+    s = build_schedule("triangular", 0.1, total_num_updates=100, opt_cfg=cfg)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(10)) == pytest.approx(0.2)   # peak at half period
+    assert float(s(20)) == pytest.approx(0.1)   # back to base

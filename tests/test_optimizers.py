@@ -109,3 +109,8 @@ def test_build_optimizer_composite_on_real_tree():
     # -lr * m_hat/(sqrt(v_hat)+eps) ~= -lr for constant grads
     enc = np.asarray(upd["encoder"]["layers_0"]["fc"]["kernel"])
     np.testing.assert_allclose(enc, -0.1, rtol=1e-3)
+
+
+def test_parse_composite_groups_brace_quantifier():
+    gs = parse_composite_groups("layers_[0-9]{1,2}=sgd@0.01,decoder=adam")
+    assert gs == [("layers_[0-9]{1,2}", "sgd", 0.01), ("decoder", "adam", None)]
