@@ -78,8 +78,11 @@ class CheckpointManager:
         else:
             name = f"checkpoint_{epoch}"
         tree = {"state": jax.device_get(state)}
-        self._ckptr.save(self._path(name), tree, force=True)
+        # async write: wait for the PREVIOUS save to commit, then kick off
+        # this one and return — the disk write overlaps subsequent training
+        # steps (latest()/load() re-synchronize before any read)
         self._ckptr.wait_until_finished()
+        self._ckptr.save(self._path(name), tree, force=True)
         if extra is not None and jax.process_index() == 0:
             with open(self._path(name) + ".extra.json", "w") as fp:
                 json.dump(_jsonable(extra), fp)
@@ -149,7 +152,19 @@ class CheckpointManager:
     # ------------------------------------------------------------------- load
 
     def latest(self) -> Optional[str]:
-        return self.manifest.get("last")
+        """Newest COMMITTED checkpoint: the manifest is written while the
+        async save is still in flight, so fall back through history if the
+        newest directory never materialized (crash mid-write)."""
+        self._ckptr.wait_until_finished()
+        last = self.manifest.get("last")
+        if last and os.path.isdir(self._path(last)):
+            return last
+        for e in reversed(
+            self.manifest.get("intervals", []) + self.manifest.get("epochs", [])
+        ):
+            if os.path.isdir(self._path(e["name"])):
+                return e["name"]
+        return None
 
     def best(self) -> Optional[str]:
         return self.manifest.get("best")
@@ -157,10 +172,15 @@ class CheckpointManager:
     def load(self, name: str, abstract_state) -> Any:
         """Restore a TrainState (pass an abstract/concrete template for
         shapes+shardings)."""
+        self._ckptr.wait_until_finished()
         tree = self._ckptr.restore(
             self._path(name), target={"state": abstract_state}
         )
         return tree["state"]
+
+    def finalize(self) -> None:
+        """Block until in-flight async writes commit (end of training)."""
+        self._ckptr.wait_until_finished()
 
     def load_extra(self, name: str) -> Dict[str, Any]:
         p = self._path(name) + ".extra.json"

@@ -105,6 +105,7 @@ def main(cfg: Config) -> None:
                 extra={"epoch": epoch, "metrics": metrics_lib.state_dict()},
                 val_metric=metric,
             )
+    ckpt.finalize()  # commit any in-flight async checkpoint write
     logger.info("done training; best %s=%s", cfg.checkpoint.best_checkpoint_metric,
                 ckpt.manifest.get("best_metric"))
 
@@ -171,28 +172,40 @@ def maybe_restore_pretrained(cfg: Config, trainer: Trainer):
 def restore_training_state(cfg, trainer, ckpt):
     """-> (start_epoch, resume_iter_state or None).  A mid-epoch checkpoint
     (--save-interval-updates) carries the train-iterator cursor in its extra
-    and resumes INSIDE its epoch (ref trainer.py:383-442 itr_state)."""
+    and resumes INSIDE its epoch (ref trainer.py:383-442 itr_state).
+
+    --reset-optimizer restores the MODEL weights (and EMA shadow) but keeps
+    the fresh optimizer state and step counter; --reset-dataloader restarts
+    at epoch 1; --reset-meters drops the metrics state (each independent,
+    ref utils/checkpoint_utils.py:191-295)."""
     last = ckpt.latest()
-    if last is None or cfg.checkpoint.reset_dataloader and cfg.checkpoint.reset_optimizer:
+    if last is None:
         return 1, None
-    if last is not None and not cfg.checkpoint.reset_optimizer:
-        trainer.state = ckpt.load(last, trainer.state)
-        extra = ckpt.load_extra(last)
-        if extra.get("metrics") and not cfg.checkpoint.reset_meters:
-            try:
-                metrics_lib.load_state_dict(extra["metrics"])
-            except Exception:
-                logger.warning("could not restore metrics state; resetting")
-        it_state = extra.get("iterator")
-        if it_state and not cfg.checkpoint.reset_dataloader:
-            epoch = int(extra.get("epoch", 1))
-            logger.info(
-                "resuming mid-epoch: epoch %d, %d iterations consumed",
-                epoch, it_state.get("iterations_in_epoch", 0),
-            )
-            return epoch, it_state
-        return int(extra.get("epoch", 0)) + 1, None
-    return 1, None
+    ck = cfg.checkpoint
+    loaded = ckpt.load(last, trainer.state)
+    extra = ckpt.load_extra(last)
+    if ck.reset_optimizer:
+        trainer.state = trainer.state.replace(
+            params=loaded.params, ema_params=loaded.ema_params
+        )
+    else:
+        trainer.state = loaded
+    if extra.get("metrics") and not ck.reset_meters:
+        try:
+            metrics_lib.load_state_dict(extra["metrics"])
+        except Exception:
+            logger.warning("could not restore metrics state; resetting")
+    if ck.reset_dataloader:
+        return 1, None
+    it_state = extra.get("iterator")
+    if it_state:
+        epoch = int(extra.get("epoch", 1))
+        logger.info(
+            "resuming mid-epoch: epoch %d, %d iterations consumed",
+            epoch, it_state.get("iterations_in_epoch", 0),
+        )
+        return epoch, it_state
+    return int(extra.get("epoch", 0)) + 1, None
 
 
 def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> None:
@@ -324,8 +337,14 @@ def validate(cfg, task, trainer, epoch: int, evaluator) -> dict:
         # batched + pipelined: same-shape samples share one padded forward
         # (--batch-size-valid), host prep overlaps device compute, and the
         # device->host readback happens once at the end
+        # --uses-ema: validate (and therefore select best checkpoints) with
+        # the EMA shadow weights, like the reference criterion's ema_model
+        # path (trainer.py:757-759, models/ema)
+        eval_params = trainer.state.params
+        if cfg.task.uses_ema and trainer.state.ema_params is not None:
+            eval_params = trainer.state.ema_params
         logs = evaluator.eval_dataset(
-            trainer.state.params, ds,
+            eval_params, ds,
             batch_size=max(cfg.optimization.batch_size_valid, 1),
         )
         # each process evaluated its row shard; sum areas across hosts

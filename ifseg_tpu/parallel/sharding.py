@@ -87,22 +87,19 @@ def param_shardings(params: Any, mesh: Mesh, use_tp=True, use_fsdp=True):
 
 def opt_state_shardings(opt_state: Any, mesh: Mesh, zero1: bool = False,
                         use_tp=True, use_fsdp=True):
-    """Shardings for optimizer-state leaves.  Array leaves follow the same
-    largest-axis rules as params (so mu/nu align with fsdp-sharded params);
-    with ``zero1`` they additionally shard over the data axis even when
+    """Shardings for optimizer-state leaves.  mu/nu trees mirror the param
+    tree, and the param path is a suffix of the state path, so the SAME
+    TP/FSDP rules apply — Adam moments land on the same axes as their
+    params (a TP-sharded fc kernel gets TP-sharded moments, not replicas).
+    With ``zero1`` they additionally shard over the data axis even when
     params are replicated (the ZeRO-1 / fairscale-OSS pattern)."""
 
-    def shard_one(leaf):
+    def shard_one(path, leaf):
         shape = np.shape(leaf)
         if len(shape) == 0:
             return NamedSharding(mesh, P())
-        spec = [None] * len(shape)
-        if use_fsdp and mesh.shape["fsdp"] > 1:
-            order = sorted(range(len(shape)), key=lambda i: -shape[i])
-            for i in order:
-                if shape[i] % mesh.shape["fsdp"] == 0 and shape[i] >= mesh.shape["fsdp"] * 8:
-                    spec[i] = "fsdp"
-                    break
+        ps = _path_str(path)
+        spec = list(_spec_for(ps, shape, mesh, use_tp, use_fsdp))
         if zero1 and mesh.shape["data"] > 1:
             order = sorted(range(len(shape)), key=lambda i: -shape[i])
             for i in order:
@@ -111,7 +108,7 @@ def opt_state_shardings(opt_state: Any, mesh: Mesh, zero1: bool = False,
                     break
         return NamedSharding(mesh, P(*spec))
 
-    return jax.tree_util.tree_map(shard_one, opt_state)
+    return jax.tree_util.tree_map_with_path(shard_one, opt_state)
 
 
 def batch_sharding(mesh: Mesh):

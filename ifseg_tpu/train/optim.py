@@ -61,10 +61,14 @@ def inverse_sqrt_schedule(
     lr * sqrt(warmup/step)."""
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32) + 1.0
-        warm = warmup_init_lr + step * ((lr - warmup_init_lr) / max(warmup_updates, 1))
-        decay = lr * jnp.sqrt(warmup_updates / jnp.maximum(step, 1.0))
-        return jnp.where(step < warmup_updates, warm, decay)
+        # step = completed updates BEFORE this one; matches fairseq where the
+        # lr applied at update k+1 is step_update(k)'s value and update 1
+        # runs at warmup_init_lr (trainer.set_num_updates after each update)
+        step = jnp.asarray(step, jnp.float32)
+        wu = max(warmup_updates, 1)
+        warm = warmup_init_lr + step * ((lr - warmup_init_lr) / wu)
+        decay = lr * jnp.sqrt(wu / jnp.maximum(step, 1.0))
+        return jnp.where(step < wu, warm, decay)
 
     return schedule
 
@@ -494,17 +498,42 @@ def composite(params, groups, base_name, opt_cfg, total_num_updates):
     return optax.multi_transform(transforms, labels)
 
 
+class LrScaleState(NamedTuple):
+    """Wrapper state for ReduceLROnPlateau: a host-adjustable multiplier on
+    the final updates.  Updates are linear in lr for every optimizer here
+    (adam/lamb/sgd/...), so scaling the update equals scaling the lr —
+    and it works for ALL of them, not just fairseq_adam."""
+
+    lr_scale: jnp.ndarray
+    inner: Any
+
+
+def with_lr_scale(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    def init(params):
+        return LrScaleState(jnp.ones((), jnp.float32), inner.init(params))
+
+    def update(grads, state, params):
+        updates, new_inner = inner.update(grads, state.inner, params)
+        s = state.lr_scale
+        updates = jax.tree_util.tree_map(
+            lambda u: u * s.astype(u.dtype), updates
+        )
+        return updates, LrScaleState(s, new_inner)
+
+    return optax.GradientTransformation(init, update)
+
+
 def set_lr_scale(opt_state, scale: float):
-    """Replace the lr_scale scalar in (possibly nested) FairseqAdamState
-    leaves — the ReduceLROnPlateau application hook."""
-    is_adam = lambda n: isinstance(n, FairseqAdamState)
+    """Replace the lr_scale scalar in LrScaleState (any optimizer) or
+    FairseqAdamState leaves — the ReduceLROnPlateau application hook."""
+    is_node = lambda n: isinstance(n, (LrScaleState, FairseqAdamState))
 
     def repl(node):
-        if is_adam(node):
+        if is_node(node):
             return node._replace(lr_scale=jnp.asarray(scale, jnp.float32))
         return node
 
-    return jax.tree_util.tree_map(repl, opt_state, is_leaf=is_adam)
+    return jax.tree_util.tree_map(repl, opt_state, is_leaf=is_node)
 
 
 def clip_by_global_norm(grads, clip_norm: float):
@@ -556,10 +585,14 @@ def freeze_mask(params, model_cfg) -> Any:
             if getattr(model_cfg, "adapter", False) and "/adapter/" in joined:
                 return True
             return False
-        if getattr(model_cfg, "adapter", False) and "embed_tokens" in joined:
+        # NB: exact path-segment match — "embed_tokens" as a substring of
+        # the joined path would also catch decoder/seg_embed_tokens, silently
+        # freezing the seg head under the (default-on) embedding freezes
+        is_shared_embed = "embed_tokens" in [str(k) for k in keys]
+        if getattr(model_cfg, "adapter", False) and is_shared_embed:
             # adapters freeze the shared embeddings (unify_transformer.py:366-371)
             return False
-        if "embed_tokens" in joined and (
+        if is_shared_embed and (
             model_cfg.freeze_encoder_embedding or model_cfg.freeze_decoder_embedding
         ):
             return False
@@ -614,4 +647,8 @@ def build_optimizer(params, model_cfg, opt_cfg, total_num_updates: int):
     tx = optax.multi_transform(
         {"train": inner, "freeze": optax.set_to_zero()}, labels
     )
+    if getattr(opt_cfg, "lr_scheduler", "") == "reduce_lr_on_plateau":
+        # host-adjustable scale on the final updates so the plateau
+        # controller works with every optimizer (not just fairseq_adam)
+        tx = with_lr_scale(tx)
     return tx, schedule, mask

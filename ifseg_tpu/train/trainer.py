@@ -233,6 +233,14 @@ class Trainer:
                 grads = jax.tree_util.tree_map(lambda g: g / ufreq, gsum)
                 loss = jnp.mean(losses)
 
+            # frozen params never reach the optimizer (multi_transform zeroes
+            # them) but their raw grads would inflate the clip norm — the
+            # reference clips over optimizer (trainable) params only
+            # (trainer.py:865-903).  Zero them before the norm; trace-time
+            # no-op for fully-trainable configs.
+            grads = jax.tree_util.tree_map(
+                lambda g, t: g if t else jnp.zeros_like(g), grads, self.mask
+            )
             grads, gnorm = optim_lib.clip_by_global_norm(
                 grads, cfg.optimization.clip_norm
             )
@@ -244,15 +252,23 @@ class Trainer:
             new_params = jax.tree_util.tree_map(
                 lambda p, u: p + u.astype(p.dtype), state.params, updates
             )
-            # skip update entirely on non-finite grads (NanDetector analog)
-            new_params = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(finite, n, o), new_params, state.params
-            )
+            # skip the update ENTIRELY on non-finite grads (NanDetector /
+            # overflow semantics, ref trainer.py:918-934): params, optimizer
+            # moments, EMA, and the step counter all stay untouched — the
+            # reference does not advance num_updates or decay Adam moments on
+            # a skipped step
+            keep = lambda n, o: jnp.where(finite, n, o)
+            new_params = jax.tree_util.tree_map(keep, new_params, state.params)
+            new_opt = jax.tree_util.tree_map(keep, new_opt, state.opt_state)
             new_ema = state.ema_params
             if new_ema is not None:
-                new_ema = ema_step(new_ema, new_params, cfg.common.ema_decay)
+                new_ema = jax.tree_util.tree_map(
+                    keep,
+                    ema_step(new_ema, new_params, cfg.common.ema_decay),
+                    state.ema_params,
+                )
             new_state = state.replace(
-                step=state.step + 1,
+                step=state.step + finite.astype(state.step.dtype),
                 params=new_params,
                 opt_state=new_opt,
                 ema_params=new_ema,

@@ -103,3 +103,37 @@ def test_triangular_schedule_from_config():
     assert float(s(0)) == pytest.approx(0.1)
     assert float(s(10)) == pytest.approx(0.2)   # peak at half period
     assert float(s(20)) == pytest.approx(0.1)   # back to base
+
+
+def test_plateau_scale_applies_to_any_optimizer():
+    """ReduceLROnPlateau must scale updates for non-adam optimizers too
+    (the scale wrapper), and must not double-apply for adam."""
+    import types
+
+    import jax
+    from ifseg_tpu.train.optim import build_optimizer, set_lr_scale
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 1.0)}
+    model_cfg = types.SimpleNamespace(
+        bitfit=False, encoder_prompt=False, decoder_prompt=False, adapter=False,
+        freeze_encoder_embedding=False, freeze_decoder_embedding=False,
+        freeze_seg_embedding=False, freeze_entire_resnet=False,
+        freeze_resnet=False, freeze_encoder_transformer=False,
+        freeze_encoder_transformer_layers=0,
+    )
+    for opt in ("sgd", "adam"):
+        cfg = types.SimpleNamespace(
+            lr=0.1, optimizer=opt, lr_scheduler="reduce_lr_on_plateau",
+            warmup_ratio=0.0, warmup_updates=0, weight_decay=0.0,
+            adam_betas=(0.9, 0.999), adam_eps=1e-8, momentum=0.0,
+            composite_groups="", composite_base="adam", lr_shrink=0.1,
+            lr_patience=0,
+        )
+        tx, schedule, mask = build_optimizer(params, model_cfg, cfg, 10)
+        state = tx.init(params)
+        base_upd, _ = tx.update(grads, state, params)
+        state2 = set_lr_scale(state, 0.5)
+        half_upd, _ = tx.update(grads, state2, params)
+        ratio = float(half_upd["w"][0]) / float(base_upd["w"][0])
+        assert ratio == pytest.approx(0.5, rel=1e-5), (opt, ratio)

@@ -114,3 +114,34 @@ def test_build_optimizer_composite_on_real_tree():
 def test_parse_composite_groups_brace_quantifier():
     gs = parse_composite_groups("layers_[0-9]{1,2}=sgd@0.01,decoder=adam")
     assert gs == [("layers_[0-9]{1,2}", "sgd", 0.01), ("decoder", "adam", None)]
+
+
+def test_freeze_embedding_does_not_freeze_seg_embed():
+    """'embed_tokens' must match the exact path segment: the default-on
+    embedding freezes must NOT catch decoder/seg_embed_tokens (the trainable
+    segmentation head)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from ifseg_tpu.train.optim import freeze_mask
+
+    params = {
+        "embed_tokens": {"embedding": jnp.ones((8, 4))},
+        "decoder": {"seg_embed_tokens": jnp.ones((5, 4))},
+    }
+    cfg = types.SimpleNamespace(
+        bitfit=False, encoder_prompt=False, decoder_prompt=False, adapter=False,
+        freeze_encoder_embedding=True, freeze_decoder_embedding=True,
+        freeze_seg_embedding=False, freeze_entire_resnet=False,
+        freeze_resnet=False, freeze_encoder_transformer=False,
+        freeze_encoder_transformer_layers=0,
+    )
+    mask = freeze_mask(params, cfg)
+    assert mask["embed_tokens"]["embedding"] is False
+    assert mask["decoder"]["seg_embed_tokens"] is True
+    # adapter mode freezes the shared embedding but not the seg head either
+    cfg.adapter = True
+    mask = freeze_mask(params, cfg)
+    assert mask["embed_tokens"]["embedding"] is False
+    assert mask["decoder"]["seg_embed_tokens"] is True

@@ -67,7 +67,8 @@ def test_schedulers():
     inv = inverse_sqrt_schedule(1.0, warmup_updates=100)
     assert float(inv(0)) < float(inv(99))
     assert float(inv(100)) > float(inv(400))  # decays as 1/sqrt
-    assert float(inv(400)) == pytest.approx(1.0 * (100 / 401) ** 0.5, rel=1e-3)
+    assert float(inv(400)) == pytest.approx(1.0 * (100 / 400) ** 0.5, rel=1e-3)
+    assert float(inv(0)) == pytest.approx(0.0)  # first update at warmup_init_lr
 
     poly = polynomial_decay_schedule(1.0, 100, warmup_updates=10)
     assert float(poly(5)) == pytest.approx(0.5)

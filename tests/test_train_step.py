@@ -219,3 +219,38 @@ def test_bitfit_mask():
     assert any("/fc1/bias" in k for k in trainable)
     assert not any(k.endswith("kernel") for k in trainable)
     assert not any("embed_tokens" in k for k in trainable)
+
+
+def test_nonfinite_skip_preserves_all_state():
+    """A NaN/Inf batch must be a TRUE no-op (NanDetector semantics,
+    ref trainer.py:918-934): params, Adam moments/count, EMA, and the step
+    counter all unchanged — not just the params.  Uses the supervised
+    branch so patch_images carry gradients (the image-free branch's loss
+    never touches them)."""
+    cfg = tiny_config()
+    cfg.criterion.unsupervised_segmentation = False
+    tokens, lengths = make_class_table(cfg.model.num_seg_tokens)
+    mesh = build_mesh(MeshConfig(data_parallel=-1))
+    trainer = Trainer(cfg, mesh, tokens, lengths, total_num_updates=20)
+    trainer.init_state()
+    batch = make_batch(trainer.cfg)
+    trainer.train_step(batch)  # one good step so moments are nonzero
+    before = jax.device_get(trainer.state)
+
+    bad = dict(batch)
+    bad["patch_images"] = np.full_like(batch["patch_images"], np.nan)
+    logs = trainer.train_step(bad)
+    assert float(logs["n_nonfinite"]) == 1.0
+    after = jax.device_get(trainer.state)
+
+    assert int(after.step) == int(before.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(after.params),
+        jax.tree_util.tree_leaves(before.params),
+    ):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(after.opt_state),
+        jax.tree_util.tree_leaves(before.opt_state),
+    ):
+        np.testing.assert_array_equal(a, b)
