@@ -248,25 +248,31 @@ class Trainer:
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
             )
-            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            new_params = jax.tree_util.tree_map(
-                lambda p, u: p + u.astype(p.dtype), state.params, updates
-            )
             # skip the update ENTIRELY on non-finite grads (NanDetector /
             # overflow semantics, ref trainer.py:918-934): params, optimizer
             # moments, EMA, and the step counter all stay untouched — the
             # reference does not advance num_updates or decay Adam moments on
-            # a skipped step
-            keep = lambda n, o: jnp.where(finite, n, o)
-            new_params = jax.tree_util.tree_map(keep, new_params, state.params)
-            new_opt = jax.tree_util.tree_map(keep, new_opt, state.opt_state)
-            new_ema = state.ema_params
-            if new_ema is not None:
-                new_ema = jax.tree_util.tree_map(
-                    keep,
-                    ema_step(new_ema, new_params, cfg.common.ema_decay),
-                    state.ema_params,
+            # a skipped step.  lax.cond (not a where-tree): only one branch
+            # executes, and elementwise selects over the moment trees would
+            # break buffer donation (measured +180 ms/step at OFA-Base).
+            def _apply(_):
+                updates, new_opt = self.tx.update(
+                    grads, state.opt_state, state.params
                 )
+                new_params = jax.tree_util.tree_map(
+                    lambda p, u: p + u.astype(p.dtype), state.params, updates
+                )
+                new_ema = state.ema_params
+                if new_ema is not None:
+                    new_ema = ema_step(new_ema, new_params, cfg.common.ema_decay)
+                return new_params, new_opt, new_ema
+
+            def _skip(_):
+                return state.params, state.opt_state, state.ema_params
+
+            new_params, new_opt, new_ema = jax.lax.cond(
+                finite, _apply, _skip, operand=None
+            )
             new_state = state.replace(
                 step=state.step + finite.astype(state.step.dtype),
                 params=new_params,

@@ -1,4 +1,10 @@
 """Component profile of the serving inference path at bench shapes."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

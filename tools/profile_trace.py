@@ -8,6 +8,12 @@ Prints per-op-group ms/step (fusion names grouped by prefix), the view that
 drove the round-2 optimization work (README performance notes).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import collections
 import glob

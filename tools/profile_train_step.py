@@ -1,4 +1,10 @@
 """Train-step wall time at the reference config (OFA-Base 512px, batch 16)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax
