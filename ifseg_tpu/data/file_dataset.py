@@ -12,9 +12,10 @@ Capability parity with the reference `data/file_dataset.py`:
 
 TPU-native differences: sharding keys off ``jax.process_index()`` (single
 controller per host; devices on a host share the feed) rather than a torch
-rank, the index is JSON (no pickle trust issues), and reads are random-access
-``seek`` + ``readline`` — the reference's sequential-reader statefulness is
-dropped because row order is already sequential in the batch sampler.
+rank, the index is JSON (no pickle trust issues), and reads are positioned
+``os.pread`` calls — stateless, so forked workers and prefetch threads share
+the descriptor without offset races (the reference's sequential-reader
+statefulness is dropped; row order is already sequential in the sampler).
 """
 
 import json
@@ -70,7 +71,7 @@ class FileDataset:
         self.slice_count = slice_count
 
         self._init_seek_index(cached_index)
-        self._reader = open(self.file_path, "r", encoding="utf-8")
+        self._fd = os.open(self.file_path, os.O_RDONLY)
         self._compute_start_pos_and_row_count()
         logger.info(
             "file %s slice_id %d row count %d total row count %d",
@@ -154,15 +155,25 @@ class FileDataset:
     def __getitem__(self, index: int) -> List[str]:
         if not 0 <= index < self.row_count:
             raise IndexError(index)
-        self._reader.seek(self.lineid_to_offset[self.start_pos + index])
-        cols = self._reader.readline().rstrip("\n").split(self.separator)
+        # positioned read (os.pread): no shared seek state, so forked shm
+        # workers and concurrent prefetch threads can read the same open
+        # file descriptor without racing on the kernel file offset (a
+        # seek()+readline() pair is NOT atomic across processes)
+        row = self.start_pos + index
+        off = self.lineid_to_offset[row]
+        if row + 1 < len(self.lineid_to_offset):
+            length = self.lineid_to_offset[row + 1] - off
+        else:
+            length = os.fstat(self._fd).st_size - off
+        data = os.pread(self._fd, length, off)
+        cols = data.decode("utf-8").rstrip("\n").split(self.separator)
         return [cols[c] for c in self.selected_col_ids]
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        state["_reader"] = None
+        state["_fd"] = None
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        self._reader = open(self.file_path, "r", encoding="utf-8")
+        self._fd = os.open(self.file_path, os.O_RDONLY)

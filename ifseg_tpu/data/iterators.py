@@ -78,6 +78,10 @@ class EpochBatchIterator:
             else:
                 # resume the in-flight epoch at its current position
                 self._next_offset = self._cur.count
+            # stop the old producer before starting a new one: two threads
+            # interleaving reads against the shared dataset would waste work
+            # and leak a blocked thread per resume
+            self._cur.close()
         # else: _next_offset holds a restored mid-epoch position (or 0)
         if self.num_workers > 0:
             self._cur = _ShmIterator(self, self.epoch, self._next_offset)
@@ -211,3 +215,10 @@ class _PrefetchIterator:
 
     def close(self):
         self._stop.set()
+        # drain so a producer blocked in queue.put() can observe _stop and
+        # exit (put blocks when the buffer is full)
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass

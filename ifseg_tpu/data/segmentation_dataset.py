@@ -170,6 +170,9 @@ class SegmentationDataset:
     def _decode_row(self, index: int):
         image_b64, seg_b64, uniq_id = self.dataset[index]
         image = Image.open(BytesIO(base64.urlsafe_b64decode(image_b64)))
+        # NB: no .convert("RGB") — reference parity (segmentation_dataset.py
+        # :213-217 decodes palette-mode PNGs as raw indices and channel-
+        # replicates 2-D arrays; the conversion notebooks emit RGB PNGs)
         image_arr = np.asarray(image)
         if image_arr.ndim < 3:
             image_arr = np.repeat(image_arr[:, :, None], 3, axis=2)

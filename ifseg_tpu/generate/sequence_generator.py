@@ -35,6 +35,35 @@ from ifseg_tpu.ops.ngram_block import ngram_repeat_mask
 NEG_INF = -1e9
 
 
+def _reorder_cache(cache, flat_sel, nrows: int):
+    """Gather cache rows by selected beams.  ARCache is handled structurally
+    (its precomputed bias tensors are batch-INDEPENDENT and must not be
+    gathered even if their leading layers/heads axis coincidentally equals
+    bsz*beam); other pytrees fall back to the batch-major shape heuristic."""
+    from ifseg_tpu.models.ar_cache import ARCache
+
+    take = lambda c: jnp.take(c, flat_sel, axis=0)
+    if isinstance(cache, ARCache):
+        return cache._replace(
+            self_k=[take(k) for k in cache.self_k],
+            self_v=[take(v) for v in cache.self_v],
+            cross_k=[take(k) for k in cache.cross_k],
+            cross_v=[take(v) for v in cache.cross_v],
+            enc_out=take(cache.enc_out),
+            enc_pad=take(cache.enc_pad),
+        )
+    if isinstance(cache, (tuple, list)) and any(
+        isinstance(c, ARCache) for c in cache
+    ):  # ensemble: one cache per model
+        return type(cache)(_reorder_cache(c, flat_sel, nrows) for c in cache)
+    return jax.tree_util.tree_map(
+        lambda c: take(c)
+        if hasattr(c, "shape") and c.ndim >= 1 and c.shape[0] == nrows
+        else c,
+        cache,
+    )
+
+
 def ensemble_step_fn(step_fns, temperature: float = 1.0):
     """Average an ensemble's next-token distributions in probability space
     (EnsembleModel, sequence_generator.py:899-900: logsumexp of per-model
@@ -299,12 +328,7 @@ class SequenceGenerator:
             flat_sel = (
                 jnp.arange(bsz)[:, None] * beam + sel_beams
             ).reshape(-1)
-            new_cache = jax.tree_util.tree_map(
-                lambda c: jnp.take(c, flat_sel, axis=0)
-                if hasattr(c, "shape") and c.ndim >= 1 and c.shape[0] == bsz * beam
-                else c,
-                new_cache,
-            )
+            new_cache = _reorder_cache(new_cache, flat_sel, bsz * beam)
             if self.constraint_trie is not None:
                 prev_nodes = jnp.take_along_axis(nodes, sel_beams, axis=1)
                 chosen = new_tokens[:, :, step + 1]

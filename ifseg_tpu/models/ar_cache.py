@@ -57,6 +57,17 @@ class ARCache(NamedTuple):
 def init_ar_cache(
     cfg: ModelConfig, params, encoder_out: Dict[str, Any], bsz: int, max_len: int
 ) -> ARCache:
+    # the cached step mirrors the DEFAULT decoder layer; configs that add
+    # modules to the layer body must use the uncached decode_ar path
+    unsupported = [
+        flag for flag in ("decoder_prompt", "adapter", "scale_resids")
+        if getattr(cfg, flag, False)
+    ]
+    if unsupported:
+        raise NotImplementedError(
+            f"KV-cached generation does not support {unsupported}; "
+            "use use_kv_cache=False (decode_ar)"
+        )
     dec = params["decoder"]
     heads = cfg.decoder_attention_heads
     d = cfg.decoder_embed_dim
@@ -98,6 +109,21 @@ def init_ar_cache(
         self_bias=self_bias, cross_bias=cross_bias,
         enc_out=enc, enc_pad=encoder_out["encoder_padding_mask"],
     )
+
+
+def _activation(cfg: "ModelConfig"):
+    """Match the configured FFN activation (FeedForward in layers.py); the
+    cached step must agree with the uncached decode_ar bit-for-bit."""
+    name = getattr(cfg, "activation_fn", "gelu")
+    if name in ("gelu", "gelu_exact"):
+        return lambda v: jax.nn.gelu(v, approximate=False)
+    if name == "gelu_tanh":
+        return lambda v: jax.nn.gelu(v, approximate=True)
+    if name == "gelu_poly":
+        from ifseg_tpu.ops.gelu import gelu_poly
+
+        return gelu_poly
+    return getattr(jax.nn, name)
 
 
 def _attend(q, k, v, bias, key_mask, c_attn, out_p):
@@ -155,7 +181,7 @@ def ar_step(
             cache.self_bias[i], step, 1, axis=1
         )[:, 0]  # (H, Lmax)
         y = _attend(
-            q, sk, sv, bias_row, pos_mask, lp["self_attn"]["c_attn"],
+            q, sk, sv, bias_row, pos_mask, lp["self_attn"].get("c_attn"),
             lp["self_attn"]["out_proj"],
         )
         if "self_attn_ln" in lp:
@@ -170,7 +196,7 @@ def ar_step(
         )[:, 0]  # (H, L_enc)
         y = _attend(
             q, cache.cross_k[i], cache.cross_v[i], cbias_row, cache.enc_pad,
-            lp["encoder_attn"]["c_attn"], lp["encoder_attn"]["out_proj"],
+            lp["encoder_attn"].get("c_attn"), lp["encoder_attn"]["out_proj"],
         )
         if "cross_attn_ln" in lp:
             y = _ln(y, lp["cross_attn_ln"])
@@ -179,7 +205,7 @@ def ar_step(
         res = x
         y = _ln(x, lp["final_layer_norm"])
         y = _dense(y, lp["ffn"]["fc1"])
-        y = jax.nn.gelu(y, approximate=False)
+        y = _activation(cfg)(y)
         if "ffn_layernorm" in lp["ffn"]:
             y = _ln(y, lp["ffn"]["ffn_layernorm"])
         y = _dense(y, lp["ffn"]["fc2"])

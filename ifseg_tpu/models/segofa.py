@@ -173,6 +173,21 @@ def build_generator(
         for k, v in encoder_out.items()
     }
 
+    # The generator's vocab here is compact class ids [0, num_seg) — the
+    # dictionary specials (pad=1/eos=2/unk=3) are CLASS ids in this space and
+    # must not get special treatment (class 1 would be banned, class 2 would
+    # terminate hypotheses).  Append two synthetic columns instead:
+    #   col num_seg     = EOS (logit -1e4: never competitive, but decisively
+    #                     above the -1e9 force-mask at the final step)
+    #   col num_seg + 1 = pad/unk (always banned)
+    num_seg = model.cfg.num_seg_tokens
+    specials = dict(pad=num_seg + 1, eos=num_seg, unk=num_seg + 1, bos=0)
+
+    def _pad_logits(logits):
+        b = logits.shape[0]
+        cols = jnp.full((b, 2), -1e4, logits.dtype).at[:, 1].set(-1e9)
+        return jnp.concatenate([logits, cols], axis=-1)
+
     if use_kv_cache:
         from ifseg_tpu.models.ar_cache import ar_step, init_ar_cache
 
@@ -181,12 +196,14 @@ def build_generator(
         )
 
         def step_fn(tokens, step, cache):
-            return ar_step(model.cfg, params, cache, tokens, step)
+            logits, cache = ar_step(model.cfg, params, cache, tokens, step)
+            return _pad_logits(logits), cache
 
         gen = SequenceGenerator(
             step_fn,
-            vocab_size=model.cfg.num_seg_tokens,
+            vocab_size=num_seg + 2,
             beam_size=beam,
+            **specials,
             max_len=max_len,
             min_len=min_len,
             no_repeat_ngram_size=no_repeat_ngram_size,
@@ -206,12 +223,13 @@ def build_generator(
             method=lambda m, t, e: m.decoder.decode_ar(t, e),
         )
         idx = jnp.minimum(step, tokens.shape[1] - 1)
-        return logits[:, idx], cache
+        return _pad_logits(logits[:, idx]), cache
 
     return SequenceGenerator(
         step_fn,
-        vocab_size=model.cfg.num_seg_tokens,
+        vocab_size=num_seg + 2,
         beam_size=beam,
+        **specials,
         max_len=max_len,
         min_len=min_len,
         no_repeat_ngram_size=no_repeat_ngram_size,

@@ -11,6 +11,13 @@ each expert receiving exactly N/E tokens):
     Sinkhorn normalization of exp(scores) to a doubly-"balanced" transport
     plan followed by greedy capacity-constrained rounding.  TPU-friendly (no
     host round trip), the idiomatic choice inside a training step.
+
+
+PERF NOTE: the greedy rounding after Sinkhorn is a sequential
+lax.scan over tokens (O(N) device loop); fine for the tested shard sizes
+but a vectorized per-expert top-capacity selection would be preferable for
+large token counts — tracked as future work (the C++ auction 
+implementation in csrc/ is the host-side alternative).
 """
 
 import ctypes

@@ -75,6 +75,8 @@ def test_generator_over_ar_model(setup):
     )
     out = gen(bsz=1, cache=gen.initial_cache)
     toks = np.asarray(out.tokens)[0, 0]
-    # pinned length: bos + 4 class tokens + eos(=2 slot id)
-    assert np.argmax(toks == 2) == 5
+    # pinned length: bos + 4 class tokens + the synthetic EOS column
+    # (= num_seg; class ids 0..num_seg-1 must all remain emittable)
+    assert toks[5] == cfg.num_seg_tokens
+    assert (toks[1:5] < cfg.num_seg_tokens).all()
     assert np.isfinite(np.asarray(out.scores)).all()
