@@ -98,23 +98,39 @@ def balanced_assignment_sinkhorn(scores, n_iters: int = 8, temperature: float = 
 
     lp, _ = jax.lax.scan(body, logp, None, length=n_iters)
 
-    # greedy rounding: visit tokens by confidence, take best non-full expert
-    conf = jnp.max(lp, axis=1)
-    order = jnp.argsort(-conf)
-
-    def assign_one(carry, tok):
+    # Vectorized capacity rounding, at most E+1 rounds (each round either
+    # fills an oversubscribed expert or assigns every remaining token):
+    #   1. every unassigned token picks its best OPEN expert
+    #   2. each expert keeps its top remaining-capacity candidates by score
+    # This replaces an O(N)-step sequential scan (one device step per token,
+    # ~17k steps at OFA-Base shapes) with E+1 sorts over (E, N).
+    def round_body(carry, _):
         counts, out = carry
-        pref = lp[tok] - jnp.where(counts >= cap, jnp.inf, 0.0)
-        expert = jnp.argmax(pref)
-        counts = counts.at[expert].add(1)
-        out = out.at[tok].set(expert.astype(jnp.int32))
+        unassigned = out < 0
+        open_e = counts < cap  # (E,)
+        pref = jnp.where(open_e[None, :], lp, -jnp.inf)
+        choice = jnp.argmax(pref, axis=1)  # (N,)
+        # candidate score matrix: M[e, t] = lp[t, e] iff t unassigned and
+        # chose e
+        cand = (
+            (jnp.arange(e)[:, None] == choice[None, :])
+            & unassigned[None, :]
+        )
+        m = jnp.where(cand, lp.T, -jnp.inf)  # (E, N)
+        rank = jnp.argsort(jnp.argsort(-m, axis=1), axis=1)  # dense ranks
+        remaining = (cap - counts)[:, None]
+        accept = cand & (rank < remaining) & jnp.isfinite(m)
+        tok_expert = jnp.argmax(accept, axis=0)  # (N,) expert accepting t
+        accepted_t = jnp.any(accept, axis=0)
+        out = jnp.where(accepted_t, tok_expert.astype(jnp.int32), out)
+        counts = counts + jnp.sum(accept, axis=1).astype(counts.dtype)
         return (counts, out), None
 
-    # derive the init from lp so its axis-varying type matches inside
-    # shard_map (zeros literals are replicated; the scan carry must not be)
+    # derive inits from lp so their axis-varying type matches inside
+    # shard_map (zeros literals are replicated; the carry must not be)
     init = (
         jnp.zeros((e,), jnp.int32) + (0 * lp[0]).astype(jnp.int32),
-        jnp.zeros((n,), jnp.int32) + (0 * lp[:, 0]).astype(jnp.int32),
+        jnp.full((n,), -1, jnp.int32) + (0 * lp[:, 0]).astype(jnp.int32),
     )
-    (counts, out), _ = jax.lax.scan(assign_one, init, order)
+    (counts, out), _ = jax.lax.scan(round_body, init, None, length=e + 1)
     return out

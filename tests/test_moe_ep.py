@@ -91,3 +91,19 @@ def test_base_moe_layer_matches_unsharded():
             gate = 1.0 / (1.0 + np.exp(-scores[i, e]))
             want[s * per + i] = xs[i] + gate * eo
     np.testing.assert_allclose(out, want, atol=1e-4, rtol=1e-4)
+
+
+def test_sinkhorn_rounding_adversarial_all_prefer_one_expert():
+    """Worst case for the round-based rounding: every token prefers expert 0,
+    forcing one expert to fill per round — must still terminate with exact
+    balance within the E+1 round bound."""
+    rng = np.random.default_rng(3)
+    n, e = 64, 8
+    scores = rng.normal(size=(n, e)).astype(np.float32) * 0.01
+    scores[:, 0] += 100.0  # everyone wants expert 0
+    scores[:, 1] += 50.0   # then expert 1, etc.
+    scores[:, 2] += 25.0
+    out = np.asarray(jax.jit(balanced_assignment_sinkhorn)(jnp.asarray(scores)))
+    counts = np.bincount(out, minlength=e)
+    assert (counts == n // e).all(), counts
+    assert (out >= 0).all()
