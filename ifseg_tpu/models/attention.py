@@ -102,10 +102,11 @@ class MultiheadAttention(nn.Module):
             lk = lk + p
 
         cp = getattr(self.plan, "context_parallel", 1) if self.plan is not None else 1
+        # ragged lengths (e.g. the 1025-token surrogate decoder) are padded to
+        # cp·⌈L/cp⌉ inside ring_attention, so no divisibility requirement here
         ring_ok = (
             cp > 1
             and lq == lk
-            and lq % cp == 0
             and (self.dropout == 0.0 or deterministic)
             and (bias is None or bias.ndim == 3)
         )

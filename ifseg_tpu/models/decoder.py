@@ -11,6 +11,7 @@ ref :128-137).  Output position i predicts grid cell i (the last position is
 the EOS slot).
 """
 
+import logging
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
@@ -30,6 +31,8 @@ from .position import (
     interp_seg_bias_with_bos_mats,
     make_image_bucket_position,
 )
+
+logger = logging.getLogger(__name__)
 
 
 class Decoder(nn.Module):
@@ -258,7 +261,7 @@ class Decoder(nn.Module):
             return self_bias0 + seg_b
 
         pp = getattr(self.plan, "pipeline_parallel", 1) if self.plan else 1
-        if pp > 1 and not self.is_initializing() and self_padding_mask is None:
+        if pp > 1 and not self.is_initializing():
             if cfg.decoder_layerdrop > 0:
                 # see Encoder: the scanned PP stage body has no stochastic
                 # whole-layer skip
@@ -269,6 +272,7 @@ class Decoder(nn.Module):
             x = self._run_layers_pp(
                 x, enc, enc_pad, self_bias_fn, cross_bias, prompt_all,
                 not full_context_alignment, deterministic,
+                self_padding_mask=self_padding_mask,
             )
         else:
             for i, layer in enumerate(self.layers):
@@ -285,11 +289,12 @@ class Decoder(nn.Module):
 
     def _run_layers_pp(
         self, x, enc, enc_pad, self_bias_fn, cross_bias, prompt_all,
-        causal, deterministic,
+        causal, deterministic, self_padding_mask=None,
     ):
         """GPipe over the decoder layer stack (--pipeline-parallel); the
-        encoder context travels with each microbatch as pipeline payload.
-        See Encoder._run_layers_pp for the scheme."""
+        encoder context and padding masks are per-microbatch constants each
+        stage reads locally (parallel/pipeline.py mb_consts) — only the
+        activations rotate.  See Encoder._run_layers_pp for the scheme."""
         import jax.random as jrandom
 
         from ifseg_tpu.parallel.pipeline import gpipe
@@ -303,6 +308,11 @@ class Decoder(nn.Module):
         m = plan.chunks
         b = x.shape[0]
         assert b % m == 0, f"batch {b} not divisible by {m} pipeline chunks"
+        if cfg.decoder_drop_path_rate > 0 and not deterministic:
+            logger.warning(
+                "--pipeline-parallel disables decoder stochastic depth "
+                "(drop_path_rate=%.2f ignored)", cfg.decoder_drop_path_rate,
+            )
 
         biases = jnp.stack([self_bias_fn(i) for i in range(nl)])
         layer_params = [
@@ -344,8 +354,10 @@ class Decoder(nn.Module):
             parent=None,  # functional use: not a submodule of this Encoder
         )
 
-        def stage_fn(p_stage, c_stage, bc, payload):
-            xx, ee, ep, mb = payload
+        def stage_fn(p_stage, c_stage, bc, xx, mbrow, mb):
+            # mbrow: this microbatch's encoder context + masks, read locally
+            ee, ep = mbrow["enc"], mbrow["enc_pad"]
+            sp = mbrow.get("self_pad")
             stage_idx = jax.lax.axis_index(plan.axis)
 
             def body(carry, inp):
@@ -356,21 +368,27 @@ class Decoder(nn.Module):
                     rngs = {"dropout": jrandom.fold_in(key, mb)}
                 y = layer_mod.apply(
                     {"params": p_l}, carry, ee, ep, c_l["bias"],
-                    bc["cross_bias"], None, causal, deterministic,
+                    bc["cross_bias"], sp, causal, deterministic,
                     c_l.get("prompt"), rngs=rngs,
                 )
                 return y, None
 
             xx, _ = jax.lax.scan(body, xx, (jnp.arange(lps), p_stage, c_stage))
-            return (xx, ee, ep, mb)
+            return xx
 
         xs = x.reshape(m, b // m, *x.shape[1:])
-        encs = enc.reshape(m, b // m, *enc.shape[1:])
-        pads = enc_pad.reshape(m, b // m, *enc_pad.shape[1:])
-        ctr = jnp.arange(m)
-        out, _, _, _ = gpipe(
-            stage_params, stage_fn, (xs, encs, pads, ctr), plan.mesh,
+        mb_consts = {
+            "enc": enc.reshape(m, b // m, *enc.shape[1:]),
+            "enc_pad": enc_pad.reshape(m, b // m, *enc_pad.shape[1:]),
+        }
+        if self_padding_mask is not None:
+            mb_consts["self_pad"] = self_padding_mask.reshape(
+                m, b // m, *self_padding_mask.shape[1:]
+            )
+        out = gpipe(
+            stage_params, stage_fn, xs, plan.mesh,
             axis=plan.axis, stage_consts=consts, bcast=bcast,
+            mb_consts=mb_consts,
         )
         return out.reshape(b, *x.shape[1:])
 

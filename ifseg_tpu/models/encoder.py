@@ -16,6 +16,7 @@ broadcast (position ids are identical across the batch), unlike the reference
 which materializes per-sample copies.
 """
 
+import logging
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -38,6 +39,8 @@ from .position import (
     make_token_bucket_position,
 )
 from .resnet import RESNET_LAYERS, ResNetStem
+
+logger = logging.getLogger(__name__)
 
 PAD = 1
 
@@ -323,6 +326,14 @@ class Encoder(nn.Module):
         m = plan.chunks
         b = x.shape[0]
         assert b % m == 0, f"batch {b} not divisible by {m} pipeline chunks"
+        if cfg.encoder_drop_path_rate > 0 and not deterministic:
+            # the scanned homogeneous stage body cannot vary drop_path per
+            # layer — stochastic depth is OFF under PP; unlike layerdrop this
+            # only changes regularization strength, so warn instead of raising
+            logger.warning(
+                "--pipeline-parallel disables encoder stochastic depth "
+                "(drop_path_rate=%.2f ignored)", cfg.encoder_drop_path_rate,
+            )
 
         biases = jnp.stack([bias_fn(i) for i in range(nl)])  # (nl, H, L, L)
         layer_params = [
@@ -368,8 +379,10 @@ class Encoder(nn.Module):
             parent=None,  # functional use: not a submodule of this Encoder
         )
 
-        def stage_fn(p_stage, c_stage, bc, payload):
-            xx, mm, mb = payload
+        def stage_fn(p_stage, c_stage, bc, xx, mbrow, mb):
+            # xx: carried activations; mbrow["mask"]: this microbatch's
+            # padding mask, read locally (never rotated); mb: microbatch idx
+            mm = mbrow["mask"]
             stage_idx = jax.lax.axis_index(plan.axis)
 
             def body(carry, inp):
@@ -389,14 +402,14 @@ class Encoder(nn.Module):
             xx, _ = jax.lax.scan(
                 body, xx, (jnp.arange(lps), p_stage, c_stage)
             )
-            return (xx, mm, mb)
+            return xx
 
         xs = x.reshape(m, b // m, *x.shape[1:])
         masks = padding_mask.reshape(m, b // m, padding_mask.shape[1])
-        ctr = jnp.arange(m)
-        out, _, _ = gpipe(
-            stage_params, stage_fn, (xs, masks, ctr), plan.mesh,
+        out = gpipe(
+            stage_params, stage_fn, xs, plan.mesh,
             axis=plan.axis, stage_consts=consts, bcast=bcast,
+            mb_consts={"mask": masks},
         )
         return out.reshape(b, *x.shape[1:])
 

@@ -10,9 +10,19 @@ Supports the OFA additive bias: the full (H, Lq, Lk) bias is sharded over the
 query axis; each ring step slices the K-column block for the chunk currently
 resident.  Exact (not approximate): matches dense attention to float
 tolerance.
+
+Collective discipline (one dispatch per ring step): K and V travel as a
+single stacked (2, B, H, Lc, D) buffer through ONE ``ppermute``; the key
+padding mask does not rotate at all — it is tiny and batch-wide, so it enters
+the shard_map replicated and each step slices the resident chunk's columns,
+exactly like the bias.  Concurrent independent collectives are what starve
+XLA:CPU's rendezvous on core-limited hosts and are wasted dispatches on ICI.
+
+Ragged lengths: sequences that do not divide the axis size are zero-padded to
+``n·⌈L/n⌉`` here (mask rows added, padded key columns masked, outputs sliced
+back), so the 1025-token surrogate decoder rings under --context-parallel.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -24,10 +34,10 @@ NEG_INF = -1e9
 
 
 def ring_attention(
-    q,  # (B, H, L, D) — L sharded over `axis`
-    k,  # (B, H, L, D) — same sharding
+    q,  # (B, H, L, D)
+    k,  # (B, H, L, D)
     v,  # (B, H, L, D)
-    bias: Optional[jnp.ndarray],  # (H, L, L) fp32 or None; rows sharded
+    bias: Optional[jnp.ndarray],  # (H, L, L) fp32 or None
     mesh: Mesh,
     axis: str = "model",
     key_padding_mask: Optional[jnp.ndarray] = None,  # (B, L) bool, True = pad
@@ -35,18 +45,35 @@ def ring_attention(
 ):
     """Exact attention with the sequence axis sharded over ``axis``.
 
-    The padding mask rotates around the ring with its K/V chunk; causal
-    masking compares global query rows (idx-local offset) against global key
-    columns (resident-chunk offset) so the result matches dense causal
-    attention exactly."""
+    Causal masking compares global query rows (idx·Lc + local offset) against
+    global key columns (resident-chunk offset) so the result matches dense
+    causal attention exactly."""
     n = mesh.shape[axis]
+    b, h, l, d = q.shape
 
-    def local_fn(q_l, k_l, v_l, bias_l, mask_l):
-        # q_l: (B, H, Lq_loc, D); k_l/v_l: (B, H, Lc, D) local chunk
-        # bias_l: (H, Lq_loc, L_total); mask_l: (B, Lc)
+    lp = -(-l // n) * n  # padded length divisible by the ring size
+    if lp != l:
+        pad = lp - l
+        padw = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, padw)
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+        if key_padding_mask is None:
+            key_padding_mask = jnp.zeros((b, l), bool)
+        key_padding_mask = jnp.pad(
+            key_padding_mask, ((0, 0), (0, pad)), constant_values=True
+        )
+        if bias is not None:
+            # padded query rows are sliced off below; padded key columns are
+            # killed by the padding mask — zero-fill keeps the bias finite
+            bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+
+    def local_fn(q_l, kv_l, bias_l, mask_full):
+        # q_l: (B, H, Lq_loc, D); kv_l: (2, B, H, Lc, D) local K/V chunk
+        # bias_l: (H, Lq_loc, L_total) or None; mask_full: (B, L_total) or None
         idx = jax.lax.axis_index(axis)
-        b, h, lq, d = q_l.shape
-        lc = k_l.shape[2]
+        lq = q_l.shape[2]
+        lc = kv_l.shape[3]
         qf = q_l.astype(jnp.float32)
 
         o0 = jnp.zeros((b, h, lq, d), jnp.float32)
@@ -55,21 +82,22 @@ def ring_attention(
         perm = [(i, (i + 1) % n) for i in range(n)]
 
         def step(carry, t):
-            o, m, s, kc, vc, mc = carry
+            o, m, s, kv = carry
             src = (idx - t) % n  # which chunk is resident this step
             logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", qf, kc.astype(jnp.float32),
+                "bhqd,bhkd->bhqk", qf, kv[0].astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
+            col = src * lc
             if bias_l is not None:
-                col = src * lc
                 bslice = jax.lax.dynamic_slice_in_dim(bias_l, col, lc, axis=2)
                 logits = logits + bslice[None]
-            if mc is not None:
-                logits = jnp.where(mc[:, None, None, :], NEG_INF, logits)
+            if mask_full is not None:
+                mslice = jax.lax.dynamic_slice_in_dim(mask_full, col, lc, axis=1)
+                logits = jnp.where(mslice[:, None, None, :], NEG_INF, logits)
             if causal:
                 rows = idx * lq + jnp.arange(lq)  # global query positions
-                cols = src * lc + jnp.arange(lc)  # global key positions
+                cols = col + jnp.arange(lc)  # global key positions
                 logits = jnp.where(
                     cols[None, None, None, :] > rows[None, None, :, None],
                     NEG_INF, logits,
@@ -79,49 +107,47 @@ def ring_attention(
             scale = jnp.exp(m - m_new)
             s = s * scale + jnp.sum(p, axis=-1, keepdims=True)
             o = o * scale + jnp.einsum(
-                "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32),
+                "bhqk,bhkd->bhqd", p, kv[1].astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
-            kc = jax.lax.ppermute(kc, axis, perm)
-            vc = jax.lax.ppermute(vc, axis, perm)
-            if mc is not None:
-                mc = jax.lax.ppermute(mc, axis, perm)
-            return (o, m_new, s, kc, vc, mc), None
+            kv = jax.lax.ppermute(kv, axis, perm)
+            return (o, m_new, s, kv), None
 
         init = (
             jax.lax.pvary(o0, (axis,)),
             jax.lax.pvary(m0, (axis,)),
             jax.lax.pvary(s0, (axis,)),
-            k_l,
-            v_l,
-            mask_l,
+            kv_l,
         )
-        (o, m, s, _, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
+        (o, m, s, _), _ = jax.lax.scan(step, init, jnp.arange(n))
         return (o / jnp.maximum(s, 1e-30)).astype(q_l.dtype)
 
     bias_spec = P(None, axis, None) if bias is not None else P()
-    mask_spec = P(None, axis) if key_padding_mask is not None else P()
+    # the mask is (B, L) bool — small enough to replicate, which removes a
+    # per-step rotation entirely
+    mask_spec = P()
 
-    def wrapper(q_, k_, v_, b_, m_):
+    def wrapper(q_, kv_, b_, m_):
         return local_fn(
-            q_, k_, v_,
+            q_, kv_,
             b_ if bias is not None else None,
             m_ if key_padding_mask is not None else None,
         )
 
-    return shard_map(
+    kv = jnp.stack([k, v])  # (2, B, H, L, D): one buffer -> one ppermute
+    out = shard_map(
         wrapper,
         mesh=mesh,
         in_specs=(
             P(None, None, axis, None),
-            P(None, None, axis, None),
-            P(None, None, axis, None),
+            P(None, None, None, axis, None),
             bias_spec,
             mask_spec,
         ),
         out_specs=P(None, None, axis, None),
     )(
-        q, k, v,
+        q, kv,
         bias if bias is not None else jnp.zeros((1,), jnp.float32),
         key_padding_mask if key_padding_mask is not None else jnp.zeros((1,), bool),
     )
+    return out[:, :, :l] if lp != l else out

@@ -8,44 +8,85 @@ parameters stacked (S, ...) and sharded over the pipeline axis, a
 ``lax.ppermute`` rotating activations around the ring.  The classic GPipe
 schedule: T = microbatches + stages - 1 ticks, bubble at both ends.
 
-The payload is an arbitrary pytree (activations + whatever must travel with
-each microbatch, e.g. padding masks or encoder context for cross-attention);
-per-stage constants (e.g. the per-layer attention biases of the resident
-layers) are sharded over the pipeline axis alongside the parameters, and
-broadcast constants reach every stage replicated.  Gradients flow through
-ppermute, so the same function trains under ``jax.grad``.
+Collective discipline (one dispatch per tick): only the *transformed*
+activations rotate, packed into a single buffer when the carried pytree has
+several leaves.  Everything else a stage needs per microbatch — padding
+masks, encoder context for cross-attention — enters as ``mb_consts``,
+replicated across the pipeline axis, and each stage indexes the row of its
+current microbatch (tick − stage) locally.  The round-2 design rotated one
+ppermute per payload leaf; concurrent independent collectives are both
+wasted dispatches on ICI and the exact trigger of XLA:CPU rendezvous
+timeouts on core-starved hosts (MULTICHIP_r02).
+
+Gradients flow through ppermute, so the same function trains under
+``jax.grad``.
 """
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _pack(tree):
+    """Flatten a float pytree into one 1-D buffer (single-leaf trees pass
+    through untouched).  Returns (buffer, unpack_fn)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if len(leaves) == 1:
+        (leaf,) = leaves
+
+        def unpack_one(buf):
+            return jax.tree_util.tree_unflatten(treedef, [buf])
+
+        return leaf, unpack_one
+    dt = jnp.result_type(*[l.dtype for l in leaves])
+    shapes = [l.shape for l in leaves]
+    dtypes = [l.dtype for l in leaves]
+    sizes = [int(jnp.size(l)) for l in leaves]
+    flat = jnp.concatenate([l.astype(dt).reshape(-1) for l in leaves])
+
+    def unpack(buf):
+        out, off = [], 0
+        for sh, dt_i, sz in zip(shapes, dtypes, sizes):
+            out.append(buf[off : off + sz].reshape(sh).astype(dt_i))
+            off += sz
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return flat, unpack
 
 
 def gpipe(
     stage_params: Any,  # pytree, leaves (S, ...), sharded over `axis`
-    stage_fn: Callable,  # (params_1stage, consts_1stage, bcast, payload) -> payload
-    microbatches: Any,  # pytree, leaves (M, mb, ...); mb sharded over data_axes
+    stage_fn: Callable,  # (params_1stage, consts_1stage, bcast, carry, mb_const_row, mb_idx) -> carry
+    carried: Any,  # pytree, float leaves (M, mb, ...); mb sharded over data_axes
     mesh: Mesh,
     axis: str = "model",
     stage_consts: Any = None,  # pytree, leaves (S, ...), sharded over `axis`
     bcast: Any = None,  # pytree, replicated, passed to every stage call
+    mb_consts: Any = None,  # pytree, leaves (M, mb, ...), replicated over `axis`
     data_axes: tuple = ("data", "fsdp"),
 ):
-    """Returns the payload pytree, same sharding as ``microbatches``.
+    """Returns the carried pytree after all stages, same sharding as input.
 
-    Payload leaves of rank >= 2 keep their per-microbatch batch dim (dim 1)
-    sharded over ``data_axes`` so DP composes with PP (each data shard
-    pipelines its own rows); rank-1 leaves (e.g. microbatch counters)
-    replicate."""
+    ``carried`` holds only what stages transform (activations); its leaves
+    must be floating point (they rotate through one packed ppermute per tick
+    and receive gradients).  Per-microbatch inputs that stages merely *read*
+    go in ``mb_consts`` — they never travel.  Leaves of rank >= 2 keep their
+    per-microbatch batch dim (dim 1) sharded over ``data_axes`` so DP
+    composes with PP (each data shard pipelines its own rows)."""
     s = mesh.shape[axis]
     data_axes = tuple(a for a in data_axes if a in mesh.shape and mesh.shape[a] > 1)
+    for leaf in jax.tree_util.tree_leaves(carried):
+        assert jnp.issubdtype(leaf.dtype, jnp.inexact), (
+            f"carried leaves must be float (got {leaf.dtype}); pass masks/"
+            f"indices via mb_consts"
+        )
 
-    def local(params_local, consts_local, bcast_local, xs):
-        # *_local leaves have leading dim 1 (this device's stage)
+    def local(params_local, consts_local, bcast_local, xs, mbc):
+        # params_local/consts_local leaves have leading dim 1 (this device's
+        # stage); xs/mbc are full (M, ...) pytrees, replicated over `axis`
         my_params = jax.tree_util.tree_map(lambda p: p[0], params_local)
         my_consts = (
             jax.tree_util.tree_map(lambda p: p[0], consts_local)
@@ -60,32 +101,38 @@ def gpipe(
         # replicated initial values as varying so scan types line up
         vary = lambda z: jax.lax.pvary(z, (axis,))
         zero = jax.tree_util.tree_map(lambda a: vary(jnp.zeros_like(a[0])), xs)
+        perm = [(i, (i + 1) % s) for i in range(s)]
 
         def tick(carry, t):
             buf, outs = carry
-            # stage 0 consumes microbatch t; other stages consume the ring buf
-            mb_t = jnp.clip(t, 0, m - 1)
+            # stage `idx` processes microbatch t - idx this tick (garbage
+            # during bubble ticks; discarded by the masks below)
+            mb_idx = t - idx
+            mb_c = jnp.clip(mb_idx, 0, m - 1)
+            # stage 0 consumes microbatch t from the input; others the ring
+            feed_t = jnp.clip(t, 0, m - 1)
             feed = jax.tree_util.tree_map(
-                lambda a, z: jnp.where(t < m, a[mb_t], z), xs, zero
+                lambda a, z: jnp.where(t < m, a[feed_t], z), xs, zero
             )
             inp = jax.tree_util.tree_map(
                 lambda f, b: jnp.where(idx == 0, f, b), feed, buf
             )
-            y = stage_fn(my_params, my_consts, bcast_local, inp)
+            mbrow = (
+                jax.tree_util.tree_map(lambda a: a[mb_c], mbc)
+                if mbc is not None
+                else None
+            )
+            y = stage_fn(my_params, my_consts, bcast_local, inp, mbrow, mb_c)
             # last stage emits microbatch t-(s-1)
-            mb_idx = t - (s - 1)
-            valid_out = (idx == s - 1) & (mb_idx >= 0)
-            mb_c = jnp.clip(mb_idx, 0, m - 1)
+            out_idx = t - (s - 1)
+            valid_out = (idx == s - 1) & (out_idx >= 0)
+            oc = jnp.clip(out_idx, 0, m - 1)
             outs = jax.tree_util.tree_map(
-                lambda o, yy: o.at[mb_c].set(jnp.where(valid_out, yy, o[mb_c])),
+                lambda o, yy: o.at[oc].set(jnp.where(valid_out, yy, o[oc])),
                 outs, y,
             )
-            buf = jax.tree_util.tree_map(
-                lambda yy: jax.lax.ppermute(
-                    yy, axis, [(i, (i + 1) % s) for i in range(s)]
-                ),
-                y,
-            )
+            packed, unpack = _pack(y)
+            buf = unpack(jax.lax.ppermute(packed, axis, perm))
             return (buf, outs), None
 
         init = (zero, jax.tree_util.tree_map(lambda a: vary(jnp.zeros_like(a)), xs))
@@ -93,10 +140,9 @@ def gpipe(
 
         # replicate the last stage's outputs to every pipeline member
         def rep_out(o):
-            if o.dtype == jnp.bool_:  # psum is float/int only (padding masks)
-                kept = jnp.where(idx == s - 1, o, False).astype(jnp.int32)
-                return jax.lax.psum(kept, axis) != 0
-            return jax.lax.psum(jnp.where(idx == s - 1, o, jnp.zeros_like(o)), axis)
+            return jax.lax.psum(
+                jnp.where(idx == s - 1, o, jnp.zeros_like(o)), axis
+            )
 
         return jax.tree_util.tree_map(rep_out, outs)
 
@@ -114,7 +160,12 @@ def gpipe(
             return P(None, data_axes, *([None] * (leaf.ndim - 2)))
         return P()
 
-    pspec = jax.tree_util.tree_map(payload_spec, microbatches)
+    cspec = jax.tree_util.tree_map(payload_spec, carried)
+    mspec = (
+        jax.tree_util.tree_map(payload_spec, mb_consts)
+        if mb_consts is not None
+        else None
+    )
     return shard_map(
         local,
         mesh=mesh,
@@ -122,7 +173,8 @@ def gpipe(
             stage_spec(stage_params),
             stage_spec(stage_consts) if stage_consts is not None else None,
             rep_spec(bcast) if bcast is not None else None,
-            pspec,
+            cspec,
+            mspec,
         ),
-        out_specs=pspec,
-    )(stage_params, stage_consts, bcast, microbatches)
+        out_specs=cspec,
+    )(stage_params, stage_consts, bcast, carried, mb_consts)

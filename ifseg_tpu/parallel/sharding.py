@@ -42,8 +42,13 @@ TP_RULES: List[Tuple[str, P]] = [
     # big embeddings: shard the vocab/row axis
     (r"embed_tokens/embedding$", P("model", None)),
     (r"image_proj/kernel$", P(None, "model")),
-    # BASE MoE experts: one expert per 'model'-axis device
-    # (models/moe_ffn.py; ref base_layer.py:27-29 expert params skip DP sync)
+]
+
+# BASE MoE experts: one expert per 'model'-axis device (models/moe_ffn.py;
+# ref base_layer.py:27-29 expert params skip DP sync).  Applied independently
+# of TP: a --moe-experts run must keep expert params on the model axis even
+# though the shared (non-expert) params stay replicated there.
+MOE_RULES: List[Tuple[str, P]] = [
     (r"moe/centroids$", P("model", None)),
     (r"moe/(wi|wo)$", P("model", None, None)),
 ]
@@ -53,10 +58,14 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
 
 
-def _spec_for(path_str: str, shape, mesh: Mesh, use_tp: bool, use_fsdp: bool) -> P:
+def _spec_for(
+    path_str: str, shape, mesh: Mesh, use_tp: bool, use_fsdp: bool,
+    use_moe: bool = True,
+) -> P:
     spec = [None] * len(shape)
-    if use_tp and mesh.shape["model"] > 1:
-        for pat, rule in TP_RULES:
+    if mesh.shape["model"] > 1:
+        rules = (TP_RULES if use_tp else []) + (MOE_RULES if use_moe else [])
+        for pat, rule in rules:
             if re.search(pat, path_str):
                 for i, ax in enumerate(rule):
                     if i < len(spec) and ax is not None and shape[i] % mesh.shape["model"] == 0:
@@ -72,21 +81,38 @@ def _spec_for(path_str: str, shape, mesh: Mesh, use_tp: bool, use_fsdp: bool) ->
     return P(*spec)
 
 
-def param_shardings(params: Any, mesh: Mesh, use_tp=True, use_fsdp=True):
-    """Pytree of NamedShardings matching ``params``."""
+def param_shardings(params: Any, mesh: Mesh, use_tp=True, use_fsdp=True,
+                    use_moe=True):
+    """Pytree of NamedShardings matching ``params``.
+
+    ``use_tp`` must be False when the 'model' axis is occupied by a shard_map
+    strategy (CP/PP/MoE): those programs expect replicated non-expert params,
+    and TP-sharded kernels would force a full resharding round-trip at every
+    shard_map boundary (an XLA "involuntary full rematerialization")."""
 
     def shard_one(path, leaf):
         ps = _path_str(path)
         shape = np.shape(leaf)
         if len(shape) == 0:
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, _spec_for(ps, shape, mesh, use_tp, use_fsdp))
+        return NamedSharding(
+            mesh, _spec_for(ps, shape, mesh, use_tp, use_fsdp, use_moe)
+        )
 
     return jax.tree_util.tree_map_with_path(shard_one, params)
 
 
+def shardings_for_plan(dist_cfg):
+    """(use_tp, use_moe) for the run's distributed config: TP rules apply only
+    when TP itself occupies the model axis; MoE expert rules whenever experts
+    are active (they are shard_map-resident on the model axis by design)."""
+    tp = max(getattr(dist_cfg, "tensor_parallel", 1), 1)
+    moe = max(getattr(dist_cfg, "moe_experts", 0), 0)
+    return tp > 1, moe > 1
+
+
 def opt_state_shardings(opt_state: Any, mesh: Mesh, zero1: bool = False,
-                        use_tp=True, use_fsdp=True):
+                        use_tp=True, use_fsdp=True, use_moe=True):
     """Shardings for optimizer-state leaves.  mu/nu trees mirror the param
     tree, and the param path is a suffix of the state path, so the SAME
     TP/FSDP rules apply — Adam moments land on the same axes as their
@@ -99,7 +125,7 @@ def opt_state_shardings(opt_state: Any, mesh: Mesh, zero1: bool = False,
         if len(shape) == 0:
             return NamedSharding(mesh, P())
         ps = _path_str(path)
-        spec = list(_spec_for(ps, shape, mesh, use_tp, use_fsdp))
+        spec = list(_spec_for(ps, shape, mesh, use_tp, use_fsdp, use_moe))
         if zero1 and mesh.shape["data"] > 1:
             order = sorted(range(len(shape)), key=lambda i: -shape[i])
             for i in order:

@@ -116,16 +116,25 @@ class Trainer:
             step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state,
             ema_params=ema,
         )
-        # place on mesh
-        from ifseg_tpu.parallel.sharding import opt_state_shardings
+        # place on mesh — plan-aware: TP rules only when TP itself occupies
+        # the 'model' axis; CP/PP runs keep non-expert params replicated there
+        # (a TP-sharded kernel entering a shard_map program forces a full
+        # resharding round-trip per step), MoE keeps expert params sharded
+        from ifseg_tpu.parallel.sharding import opt_state_shardings, shardings_for_plan
 
+        use_tp, use_moe = shardings_for_plan(cfg.distributed)
         shardings = TrainState(
             step=replicated(self.mesh),
-            params=param_shardings(params, self.mesh),
+            params=param_shardings(params, self.mesh, use_tp=use_tp, use_moe=use_moe),
             opt_state=opt_state_shardings(
-                opt_state, self.mesh, zero1=cfg.distributed.zero1
+                opt_state, self.mesh, zero1=cfg.distributed.zero1,
+                use_tp=use_tp, use_moe=use_moe,
             ),
-            ema_params=param_shardings(ema, self.mesh) if ema is not None else None,
+            ema_params=(
+                param_shardings(ema, self.mesh, use_tp=use_tp, use_moe=use_moe)
+                if ema is not None
+                else None
+            ),
         )
         self.state_shardings = shardings
         self.state = jax.device_put(state, shardings)

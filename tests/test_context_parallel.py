@@ -47,3 +47,68 @@ def test_ring_attention_no_bias():
     out = jax.jit(lambda a, b_, c: ring_attention(a, b_, c, None, mesh))(q, k, v)
     want = dense(q, k, v, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def dense_masked(q, k, v, bias, mask, causal):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias[None]
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], -1e9, logits)
+    if causal:
+        l = q.shape[2]
+        cm = jnp.tril(jnp.ones((l, l), bool))
+        logits = jnp.where(cm[None, None], logits, -1e9)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def test_ring_attention_odd_length_causal_bias_mask():
+    """L=33 does not divide the 4-way ring: padded internally (VERDICT r2 #5
+    — covers the 1025-token surrogate decoder under --context-parallel)."""
+    mesh = build_mesh(MeshConfig(data_parallel=2, fsdp=1, tensor_parallel=4))
+    b, h, l, d = 2, 2, 33, 8
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(h, l, l)), jnp.float32)
+    mask = jnp.asarray(rng.random(size=(b, l)) < 0.2)
+    mask = mask.at[:, 0].set(False)  # keep at least one visible key
+
+    out = jax.jit(
+        lambda a, b_, c, e, m: ring_attention(
+            a, b_, c, e, mesh, key_padding_mask=m, causal=True
+        )
+    )(q, k, v, bias, mask)
+    want = dense_masked(q, k, v, bias, mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_ring_attention_odd_length_no_mask():
+    mesh = build_mesh(MeshConfig(data_parallel=2, fsdp=1, tensor_parallel=4))
+    b, h, l, d = 1, 2, 13, 4
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    out = jax.jit(lambda a, b_, c: ring_attention(a, b_, c, None, mesh))(q, k, v)
+    want = dense(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_ring_attention_grad_matches_dense():
+    """Gradients flow through the packed-ppermute ring identically to dense."""
+    mesh = build_mesh(MeshConfig(data_parallel=2, fsdp=1, tensor_parallel=4))
+    b, h, l, d = 1, 2, 16, 4
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+
+    g_ring = jax.jit(
+        jax.grad(lambda t: jnp.sum(ring_attention(t[0], t[1], t[2], None, mesh) ** 2))
+    )((q, k, v))
+    g_dense = jax.grad(lambda t: jnp.sum(dense(t[0], t[1], t[2], None) ** 2))((q, k, v))
+    for a, bb in zip(g_ring, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4)

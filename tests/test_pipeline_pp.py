@@ -17,7 +17,7 @@ def test_gpipe_matches_sequential():
     w = jax.random.normal(rng, (s, d, d)) * 0.5  # one linear per stage
     b = jax.random.normal(jax.random.PRNGKey(1), (s, d)) * 0.1
 
-    def stage_fn(params, consts, bcast, x):
+    def stage_fn(params, consts, bcast, x, mbrow, mb):
         wi, bi = params
         return jnp.tanh(x @ wi + bi)
 
@@ -41,7 +41,7 @@ def test_gpipe_gradients_flow():
     d = 4
     w = jax.random.normal(jax.random.PRNGKey(0), (s, d, d)) * 0.5
 
-    def stage_fn(wi, consts, bcast, x):
+    def stage_fn(wi, consts, bcast, x, mbrow, mb):
         return jnp.tanh(x @ wi)
 
     xs = jax.random.normal(jax.random.PRNGKey(1), (3, 2, d))
@@ -59,3 +59,58 @@ def test_gpipe_gradients_flow():
 
     g_ref = jax.grad(loss_ref)(w)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+
+
+def test_gpipe_mb_consts_and_multileaf_carry():
+    """Per-microbatch constants are indexed locally by (tick - stage) and the
+    multi-leaf carried pytree rotates through ONE packed ppermute."""
+    mesh = build_mesh(MeshConfig(data_parallel=2, fsdp=1, tensor_parallel=4))
+    s = mesh.shape["model"]
+    d = 6
+    w = jax.random.normal(jax.random.PRNGKey(0), (s, d, d)) * 0.5
+    m, mb = 5, 2
+    xs = jax.random.normal(jax.random.PRNGKey(1), (m, mb, d))
+    ys = jax.random.normal(jax.random.PRNGKey(2), (m, mb, d)).astype(jnp.bfloat16)
+    # per-microbatch additive constant every stage reads (never rotated)
+    c = jax.random.normal(jax.random.PRNGKey(3), (m, mb, d))
+
+    def stage_fn(wi, consts, bcast, carry, mbrow, mb_idx):
+        x, y = carry
+        x = jnp.tanh(x @ wi + mbrow["c"])
+        y = (y.astype(jnp.float32) + x).astype(jnp.bfloat16)
+        return (x, y)
+
+    out_x, out_y = jax.jit(
+        lambda p, x, y, cc: gpipe(
+            p, stage_fn, (x, y), mesh, axis="model", mb_consts={"c": cc}
+        )
+    )(w, xs, ys, c)
+
+    want_x, want_y = np.asarray(xs), np.asarray(ys, np.float32)
+    for i in range(s):
+        want_x = np.tanh(want_x @ np.asarray(w[i]) + np.asarray(c))
+        want_y = np.asarray(
+            (jnp.asarray(want_y).astype(jnp.bfloat16).astype(jnp.float32) + want_x
+             ).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+    np.testing.assert_allclose(np.asarray(out_x), want_x, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_y, np.float32), want_y, atol=0.15, rtol=0.1
+    )
+
+
+def test_gpipe_rejects_nonfloat_carry():
+    mesh = build_mesh(MeshConfig(data_parallel=2, fsdp=1, tensor_parallel=4))
+    s = mesh.shape["model"]
+    w = jnp.zeros((s, 2, 2))
+
+    def stage_fn(wi, consts, bcast, x, mbrow, mb):
+        return x
+
+    xs = jnp.zeros((2, 2, 2), jnp.int32)
+    try:
+        gpipe(w, stage_fn, xs, mesh, axis="model")
+    except AssertionError as e:
+        assert "mb_consts" in str(e)
+    else:
+        raise AssertionError("int carry should be rejected")
