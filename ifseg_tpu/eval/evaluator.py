@@ -67,11 +67,15 @@ class Evaluator:
     # ---------------------------------------------------------- compiled core
 
     def _make_fn(self, img_hw: Tuple[int, int], ori_hw: Tuple[int, int]):
-        """One compiled function per (image-bucket, target-bucket); batch-
-        general — samples sharing the same EXACT resized/original shape run
-        as one padded batch (all positional-interp scalars are shared, so the
-        per-layer biases stay batch-independent).  ``row_valid`` masks
-        replicated padding rows out of the area/CE sums."""
+        """One compiled function per (image-bucket, target-bucket) covering
+        EVERY shape inside the bucket: the single-sample core takes this
+        row's valid extents (img_h/img_w/ori_h/ori_w) as traced scalars and
+        is ``vmap``-ed over the batch, so per-sample interpolation matrices,
+        padding masks and attention biases batch automatically.  Under the
+        reference's keep-ratio MultiScaleFlipAug nearly every image has a
+        unique exact shape — exact-shape grouping (round 2) degenerated to
+        batch 1; bucket grouping is what makes --batch-size-valid real.
+        ``row_valid`` masks replicated padding rows out of the area/CE sums."""
         cfg = self.cfg
         num_seg = cfg.model.num_seg_tokens
         crit = cfg.criterion
@@ -79,16 +83,15 @@ class Evaluator:
         assert Ho % ROW_CHUNK == 0
         chunks = Ho // ROW_CHUNK
 
-        def fn(params, src_tokens, image, img_h, img_w, bos, target,
-               ori_h, ori_w, row_valid):
-            b = image.shape[0]
+        def fn_single(params, src_tokens, image, img_h, img_w, bos, target,
+                      ori_h, ori_w):
             logits, enc = self.model.apply(
                 {"params": params},
-                src_tokens,
-                image,
+                src_tokens[None],
+                image[None],
                 img_h,
                 img_w,
-                bos,
+                bos[None],
                 crit.full_context_alignment,
                 method=SegOFA.eval_forward,
             )
@@ -96,7 +99,7 @@ class Evaluator:
             hp, wp = enc["valid_hw"]
             hw = Hp * Wp
             c = logits.shape[-1]
-            grid = logits[:, :hw].reshape(b, Hp, Wp, c).astype(jnp.float32)
+            grid = logits[:, :hw].reshape(1, Hp, Wp, c).astype(jnp.float32)
 
             post_grid = None
             if crit.resnet_iters > 0:
@@ -112,7 +115,7 @@ class Evaluator:
                     crit.resnet_topk,
                     crit.resnet_iters,
                 )
-                post_grid = post.reshape(b, Hp, Wp, c)
+                post_grid = post.reshape(1, Hp, Wp, c)
 
             # dynamic-valid upsample matrices: valid (hp, wp) grid -> original
             uh = bilinear_matrix_dyn(Hp, Ho, ori_h, in_valid=hp)
@@ -120,23 +123,22 @@ class Evaluator:
             r = jnp.arange(Ho)[:, None]
             cc = jnp.arange(Wo)[None, :]
             in_bounds = (r < ori_h) & (cc < ori_w)
-            valid = in_bounds[None] & (target != num_seg)
-            valid = valid & row_valid[:, None, None]
+            valid = (in_bounds & (target != num_seg))[None]
 
             areas, ce = _upsampled_areas_dyn(
-                grid, target, valid, num_seg, uh, uw, chunks
+                grid, target[None], valid, num_seg, uh, uw, chunks
             )
             out = {
                 "area_intersect": areas[0],
                 "area_pred_label": areas[1],
                 "area_label": areas[2],
                 "area_union": areas[3],
-                "nll_loss": ce[0] / jnp.maximum(ce[1], 1.0),
+                "nll_sum": ce[0],
+                "nll_cnt": ce[1],
             }
-            out["loss"] = out["nll_loss"]
             if post_grid is not None:
                 pareas, _ = _upsampled_areas_dyn(
-                    post_grid, target, valid, num_seg, uh, uw, chunks
+                    post_grid, target[None], valid, num_seg, uh, uw, chunks
                 )
                 out.update(
                     {
@@ -148,21 +150,40 @@ class Evaluator:
                 )
             return out
 
+        fn_batch = jax.vmap(fn_single, in_axes=(None,) + (0,) * 8)
+
+        def fn(params, src_tokens, image, img_h, img_w, bos, target,
+               ori_h, ori_w, row_valid):
+            per = fn_batch(
+                params, src_tokens, image, img_h, img_w, bos, target,
+                ori_h, ori_w,
+            )
+            w = row_valid.astype(jnp.float32)
+            out = {
+                k: jnp.sum(v * w[:, None], axis=0)
+                for k, v in per.items()
+                if k not in ("nll_sum", "nll_cnt")
+            }
+            nll_sum = jnp.sum(per["nll_sum"] * w)
+            nll_cnt = jnp.sum(per["nll_cnt"] * w)
+            out["nll_loss"] = nll_sum / jnp.maximum(nll_cnt, 1.0)
+            out["loss"] = out["nll_loss"]
+            return out
+
         return jax.jit(fn)
 
     # ----------------------------------------------------------------- driver
 
     def _run_group(self, params, samples) -> Dict[str, jax.Array]:
-        """Run a group of samples that share exact (resized, original) shapes
-        as ONE padded forward.  Short groups are padded by replicating row 0
-        with row_valid=False (same compiled shape for any power-of-2 size)."""
+        """Run a group of samples that share (image-bucket, target-bucket) —
+        NOT necessarily exact shapes — as ONE padded vmapped forward.  Short
+        groups are padded by replicating row 0 with row_valid=False (same
+        compiled shape for any power-of-2 size)."""
         n = len(samples)
-        img = samples[0].patch_image
-        seg = samples[0].ori_semantic_seg
-        h, w = img.shape[:2]
-        H, W = seg.shape[:2]
-        Hb, Wb = _bucket(h), _bucket(w)
-        Ho, Wo = _bucket(H), _bucket(W)
+        Hb = _bucket(max(s.patch_image.shape[0] for s in samples))
+        Wb = _bucket(max(s.patch_image.shape[1] for s in samples))
+        Ho = _bucket(max(s.ori_semantic_seg.shape[0] for s in samples))
+        Wo = _bucket(max(s.ori_semantic_seg.shape[1] for s in samples))
         b = 1 << (n - 1).bit_length()  # pad to the next power of two
         key = (Hb, Wb, Ho, Wo)
         if key not in self._fns:
@@ -174,6 +195,10 @@ class Evaluator:
         target = np.full((b, Ho, Wo), num_seg, np.int32)
         src = np.tile(samples[0].src_tokens[None].astype(np.int32), (b, 1))
         bos = np.tile(samples[0].bos_token[None].astype(np.int32), (b, 1))
+        img_h = np.empty((b,), np.int32)
+        img_w = np.empty((b,), np.int32)
+        ori_h = np.empty((b,), np.int32)
+        ori_w = np.empty((b,), np.int32)
         for i, s in enumerate(samples):
             image[i, : s.patch_image.shape[0], : s.patch_image.shape[1]] = s.patch_image
             target[i, : s.ori_semantic_seg.shape[0], : s.ori_semantic_seg.shape[1]] = (
@@ -181,13 +206,17 @@ class Evaluator:
             )
             src[i] = s.src_tokens.astype(np.int32)
             bos[i] = s.bos_token.astype(np.int32)
-        for i in range(n, b):  # replicate row 0 so scalars stay shared
+            img_h[i], img_w[i] = s.patch_image.shape[:2]
+            ori_h[i], ori_w[i] = s.ori_semantic_seg.shape[:2]
+        for i in range(n, b):  # replicate row 0 (its areas are masked out)
             image[i] = image[0]
+            img_h[i], img_w[i] = img_h[0], img_w[0]
+            ori_h[i], ori_w[i] = ori_h[0], ori_w[0]
         row_valid = np.arange(b) < n
 
         return self._fns[key](
-            params, src, image, np.int32(h), np.int32(w), bos, target,
-            np.int32(H), np.int32(W), row_valid,
+            params, src, image, img_h, img_w, bos, target, ori_h, ori_w,
+            row_valid,
         )
 
     def eval_sample(self, params, sample: EvalSample) -> Dict[str, np.ndarray]:
@@ -197,10 +226,10 @@ class Evaluator:
         self, params, dataset, batch_size: int = 1, prefetch: int = 4
     ):
         """Evaluate every sample: host preprocessing runs in a background
-        thread overlapping device compute; samples with identical exact
-        shapes batch together (--batch-size-valid); results stay on device
-        until the final readback (no per-sample sync).  Yields one logging
-        dict per executed group."""
+        thread overlapping device compute; samples whose shapes fall in the
+        same bucket batch together (--batch-size-valid); results stay on
+        device until the final readback (no per-sample sync).  Yields one
+        logging dict per executed group."""
         import queue as queue_mod
         import threading
 
@@ -230,9 +259,15 @@ class Evaluator:
                         "eval sample preprocessing failed"
                     ) from producer_error[0]
                 break
+            # bucket-level key: under the reference's keep-ratio resize the
+            # exact shapes are nearly all unique, but they cluster into a
+            # handful of buckets — this is what lets --batch-size-valid form
+            # real batches (the compiled fn handles per-row extents)
             skey = (
-                sample.patch_image.shape[:2],
-                sample.ori_semantic_seg.shape[:2],
+                _bucket(sample.patch_image.shape[0]),
+                _bucket(sample.patch_image.shape[1]),
+                _bucket(sample.ori_semantic_seg.shape[0]),
+                _bucket(sample.ori_semantic_seg.shape[1]),
                 sample.src_tokens.shape[0],
             )
             groups.setdefault(skey, []).append(sample)

@@ -275,9 +275,23 @@ class Decoder(nn.Module):
                 self_padding_mask=self_padding_mask,
             )
         else:
+            # all-layer self-bias pack in one fused add (see Encoder
+            # _run_layers): identity seg interpolation at the native 32x32
+            # grid makes the pack a single (nl, H, L, L) broadcast-add
+            nl = len(self.layers)
+            if valid_hw is None and (sb, sb) == (h, w):
+                seg_interp_all = seg_all
+            else:
+                seg_interp_all = jnp.stack([
+                    interp_seg_bias_with_bos(seg_all[i], (sb, sb), (h, w))
+                    if valid_hw is None
+                    else interp_seg_bias_with_bos_mats(seg_all[i], ah, aw, (sb, sb))
+                    for i in range(nl)
+                ])
+            pack = self_bias0[None] + seg_interp_all
             for i, layer in enumerate(self.layers):
                 y = layer(
-                    x, enc, enc_pad, self_bias_fn(i), cross_bias,
+                    x, enc, enc_pad, pack[i], cross_bias,
                     self_padding_mask, not full_context_alignment, deterministic,
                     prompt_all[i] if prompt_all is not None else None,
                 )
@@ -306,8 +320,6 @@ class Decoder(nn.Module):
         assert nl % s == 0, f"{nl} layers not divisible by {s} pipeline stages"
         lps = nl // s
         m = plan.chunks
-        b = x.shape[0]
-        assert b % m == 0, f"batch {b} not divisible by {m} pipeline chunks"
         if cfg.decoder_drop_path_rate > 0 and not deterministic:
             logger.warning(
                 "--pipeline-parallel disables decoder stochastic depth "
@@ -376,21 +388,14 @@ class Decoder(nn.Module):
             xx, _ = jax.lax.scan(body, xx, (jnp.arange(lps), p_stage, c_stage))
             return xx
 
-        xs = x.reshape(m, b // m, *x.shape[1:])
-        mb_consts = {
-            "enc": enc.reshape(m, b // m, *enc.shape[1:]),
-            "enc_pad": enc_pad.reshape(m, b // m, *enc_pad.shape[1:]),
-        }
+        mb_consts = {"enc": enc, "enc_pad": enc_pad}
         if self_padding_mask is not None:
-            mb_consts["self_pad"] = self_padding_mask.reshape(
-                m, b // m, *self_padding_mask.shape[1:]
-            )
-        out = gpipe(
-            stage_params, stage_fn, xs, plan.mesh,
+            mb_consts["self_pad"] = self_padding_mask
+        return gpipe(
+            stage_params, stage_fn, x, plan.mesh,
             axis=plan.axis, stage_consts=consts, bcast=bcast,
-            mb_consts=mb_consts,
+            mb_consts=mb_consts, chunks=m,
         )
-        return out.reshape(b, *x.shape[1:])
 
     def precompute_biases(self, enc_pos_all, image_hw):
         """Batch-independent decoder bias pack for a fixed shape (serving):

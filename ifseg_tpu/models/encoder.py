@@ -256,6 +256,7 @@ class Encoder(nn.Module):
             :src_len, :src_len
         ]
         tok_all = gather_rel_bias_all_layers(self.token_rel_pos_table, token_bucket)
+        img_all_interp = None  # (nl, H, hw, hw) when available in one piece
         if img_bias_fn is None:
             image_bucket = image_rp_bucket_for_grid(
                 *rel_bias_grid_hw, cfg.image_bucket_size
@@ -264,6 +265,8 @@ class Encoder(nn.Module):
             img_all = gather_rel_bias_all_layers(
                 self.image_rel_pos_table, image_bucket
             )
+            if tuple(rel_bias_grid_hw) == tuple(image_hw):
+                img_all_interp = img_all  # identity interp (512px train/infer)
 
             def img_bias_fn(i):
                 return interp_grid_bias(img_all[i], rel_bias_grid_hw, image_hw)
@@ -288,14 +291,24 @@ class Encoder(nn.Module):
                 x, padding_mask, bias_fn, prompt_all, deterministic
             )
         else:
+            # assemble the all-layer bias pack in ONE fused pad+pad+add pass
+            # (nl, H, L, L) instead of two full-tensor `.at[].add` copies per
+            # layer: halves the bias-build HBM traffic on the training hot
+            # path (the serving path precomputes per checkpoint instead,
+            # precompute_biases below)
+            nl = len(self.layers)
+            if img_all_interp is None:
+                img_all_interp = jnp.stack([img_bias_fn(i) for i in range(nl)])
+            pack = (
+                bias0[None]
+                + jnp.pad(tok_all, ((0, 0), (0, 0), (hw, 0), (hw, 0)))
+                + jnp.pad(
+                    img_all_interp, ((0, 0), (0, 0), (0, src_len), (0, src_len))
+                )
+            )
             for i, layer in enumerate(self.layers):
-                tok_b = tok_all[i]
-                img_b = img_bias_fn(i)
-                bias = bias0
-                bias = bias.at[:, l_total - src_len :, l_total - src_len :].add(tok_b)
-                bias = bias.at[:, :hw, :hw].add(img_b)
                 y = layer(
-                    x, padding_mask, bias, deterministic,
+                    x, padding_mask, pack[i], deterministic,
                     prompt_all[i] if prompt_all is not None else None,
                 )
                 x = _layerdrop(
@@ -325,7 +338,6 @@ class Encoder(nn.Module):
         lps = nl // s
         m = plan.chunks
         b = x.shape[0]
-        assert b % m == 0, f"batch {b} not divisible by {m} pipeline chunks"
         if cfg.encoder_drop_path_rate > 0 and not deterministic:
             # the scanned homogeneous stage body cannot vary drop_path per
             # layer — stochastic depth is OFF under PP; unlike layerdrop this
@@ -404,14 +416,11 @@ class Encoder(nn.Module):
             )
             return xx
 
-        xs = x.reshape(m, b // m, *x.shape[1:])
-        masks = padding_mask.reshape(m, b // m, padding_mask.shape[1])
-        out = gpipe(
-            stage_params, stage_fn, xs, plan.mesh,
+        return gpipe(
+            stage_params, stage_fn, x, plan.mesh,
             axis=plan.axis, stage_consts=consts, bcast=bcast,
-            mb_consts={"mask": masks},
+            mb_consts={"mask": padding_mask}, chunks=m,
         )
-        return out.reshape(b, *x.shape[1:])
 
     # --------------------------------------------------------------- serving
 

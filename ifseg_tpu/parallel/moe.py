@@ -64,17 +64,27 @@ def base_moe_layer(
 ):
     """x -> x + sigmoid(score) * expert(x), experts sharded on ``expert_axis``.
 
-    Tokens are sharded over (*data_axes, expert_axis) jointly — the BASE
-    layout where every worker owns both a token shard and one expert
-    (base_layer.py:27-29: expert params excluded from DP grad sync)."""
+    ``x`` enters sharded over the data axes only (the layout every
+    surrounding op already uses), replicated across the expert axis; each
+    expert-axis member slices its own 1/E of the resident rows by
+    ``axis_index`` and all_gathers the results at the end.  Entering with a
+    3-axis token sharding instead (the round-2 design) forced a GSPMD
+    "involuntary full rematerialization" of every neighboring op between the
+    [data,fsdp]-sharded graph and the 8-way layout.  Every worker still owns
+    a token slice and one expert — the BASE layout (base_layer.py:27-29)."""
     n_exp = mesh.shape[expert_axis]
 
-    def local_fn(centroids_l, wi_l, wo_l, x_l):
+    def local_fn(centroids_l, wi_l, wo_l, x_rep):
+        # x_rep: (n_rep, D) — this data shard's rows, replicated over the
+        # expert axis; slice this member's share
+        idx = jax.lax.axis_index(expert_axis)
+        n_rep = x_rep.shape[0]
+        n_local = n_rep // n_exp
+        x_l = jax.lax.dynamic_slice_in_dim(x_rep, idx * n_local, n_local, 0)
         # centroids_l: (1, D) local shard -> gather all for scoring
         centroids = jax.lax.all_gather(
             centroids_l, expert_axis, axis=0, tiled=True
         )  # (E, D)
-        n_local = x_l.shape[0]
         cap = n_local // n_exp
         scores = jnp.einsum(
             "nd,ed->ne", x_l.astype(jnp.float32), centroids.astype(jnp.float32)
@@ -107,9 +117,17 @@ def base_moe_layer(
         gate = jax.nn.sigmoid(
             jnp.take_along_axis(scores, expert_of[:, None], axis=1)[:, 0]
         ).astype(x_l.dtype)
-        return x_l + gate[:, None] * expert_out
+        out_l = x_l + gate[:, None] * expert_out
+        # reassemble the full data-shard block on every expert-axis member so
+        # the output layout matches the input's (data-sharded, replicated).
+        # psum of disjoint slices == all_gather, and unlike all_gather its
+        # output is provably axis-invariant for shard_map's replication check
+        buf = jnp.zeros((n_rep, out_l.shape[1]), out_l.dtype)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, out_l, idx * n_local, 0)
+        return jax.lax.psum(buf, expert_axis)
 
-    data_spec = P(tuple(data_axes) + (expert_axis,))
+    data_axes = tuple(a for a in data_axes if mesh.shape.get(a, 1) > 1)
+    data_spec = P(data_axes if data_axes else None, None)
     return shard_map(
         local_fn,
         mesh=mesh,

@@ -12,11 +12,17 @@ Collective discipline (one dispatch per tick): only the *transformed*
 activations rotate, packed into a single buffer when the carried pytree has
 several leaves.  Everything else a stage needs per microbatch — padding
 masks, encoder context for cross-attention — enters as ``mb_consts``,
-replicated across the pipeline axis, and each stage indexes the row of its
-current microbatch (tick − stage) locally.  The round-2 design rotated one
-ppermute per payload leaf; concurrent independent collectives are both
+replicated across the pipeline axis, and each stage indexes the row block of
+its current microbatch (tick − stage) locally.  The round-2 design rotated
+one ppermute per payload leaf; concurrent independent collectives are both
 wasted dispatches on ICI and the exact trigger of XLA:CPU rendezvous
 timeouts on core-starved hosts (MULTICHIP_r02).
+
+Layout discipline: payloads enter batch-major (B, ...) with the SAME
+(data, fsdp) sharding as every surrounding op, and the microbatch split
+happens *inside* the shard_map on each device's resident rows — so the
+shard_map boundary moves no data.  (Splitting outside with a global
+reshape(M, B/M) forced a cross-device row regrouping at entry and exit.)
 
 Gradients flow through ppermute, so the same function trains under
 ``jax.grad``.
@@ -60,42 +66,64 @@ def _pack(tree):
 def gpipe(
     stage_params: Any,  # pytree, leaves (S, ...), sharded over `axis`
     stage_fn: Callable,  # (params_1stage, consts_1stage, bcast, carry, mb_const_row, mb_idx) -> carry
-    carried: Any,  # pytree, float leaves (M, mb, ...); mb sharded over data_axes
+    carried: Any,  # pytree, float leaves (B, ...); B sharded over data_axes
     mesh: Mesh,
     axis: str = "model",
     stage_consts: Any = None,  # pytree, leaves (S, ...), sharded over `axis`
     bcast: Any = None,  # pytree, replicated, passed to every stage call
-    mb_consts: Any = None,  # pytree, leaves (M, mb, ...), replicated over `axis`
+    mb_consts: Any = None,  # pytree, leaves (B, ...), read-only per-microbatch inputs
+    chunks: int = 0,  # microbatches per pipeline step; 0 -> stage count
     data_axes: tuple = ("data", "fsdp"),
 ):
-    """Returns the carried pytree after all stages, same sharding as input.
+    """Returns the carried pytree after all stages, same layout as input.
 
     ``carried`` holds only what stages transform (activations); its leaves
     must be floating point (they rotate through one packed ppermute per tick
     and receive gradients).  Per-microbatch inputs that stages merely *read*
-    go in ``mb_consts`` — they never travel.  Leaves of rank >= 2 keep their
-    per-microbatch batch dim (dim 1) sharded over ``data_axes`` so DP
-    composes with PP (each data shard pipelines its own rows)."""
+    go in ``mb_consts`` — they never travel.  Each data shard splits its own
+    resident rows into ``chunks`` microbatches, so DP composes with PP
+    without any relayout (each data shard pipelines its own rows)."""
+    import math
+
     s = mesh.shape[axis]
+    m = chunks or s
     data_axes = tuple(a for a in data_axes if a in mesh.shape and mesh.shape[a] > 1)
+    data_size = 1
+    for a in data_axes:
+        data_size *= mesh.shape[a]
+    b_total = jax.tree_util.tree_leaves(carried)[0].shape[0]
+    assert b_total % data_size == 0, (
+        f"batch {b_total} not divisible by {data_size} data shards"
+    )
+    # each data shard chunks its own resident rows; clamp the microbatch
+    # count to what divides them (m=1 degenerates to a full-bubble pipeline,
+    # still correct)
+    m = math.gcd(m, b_total // data_size)
     for leaf in jax.tree_util.tree_leaves(carried):
         assert jnp.issubdtype(leaf.dtype, jnp.inexact), (
             f"carried leaves must be float (got {leaf.dtype}); pass masks/"
             f"indices via mb_consts"
         )
 
-    def local(params_local, consts_local, bcast_local, xs, mbc):
+    def local(params_local, consts_local, bcast_local, xs_flat, mbc_flat):
         # params_local/consts_local leaves have leading dim 1 (this device's
-        # stage); xs/mbc are full (M, ...) pytrees, replicated over `axis`
+        # stage); xs_flat/mbc_flat are this data shard's resident rows
+        # (b_loc, ...), replicated over `axis` — split them into microbatches
+        # locally so the shard_map boundary moves no data
         my_params = jax.tree_util.tree_map(lambda p: p[0], params_local)
         my_consts = (
             jax.tree_util.tree_map(lambda p: p[0], consts_local)
             if consts_local is not None
             else None
         )
+        split = lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:])
+        xs = jax.tree_util.tree_map(split, xs_flat)
+        mbc = (
+            jax.tree_util.tree_map(split, mbc_flat)
+            if mbc_flat is not None
+            else None
+        )
         idx = jax.lax.axis_index(axis)
-        leaves = jax.tree_util.tree_leaves(xs)
-        m = leaves[0].shape[0]
         t_total = m + s - 1
         # carries become axis-varying after ppermute/axis_index; mark the
         # replicated initial values as varying so scan types line up
@@ -138,11 +166,11 @@ def gpipe(
         init = (zero, jax.tree_util.tree_map(lambda a: vary(jnp.zeros_like(a)), xs))
         (_, outs), _ = jax.lax.scan(tick, init, jnp.arange(t_total))
 
-        # replicate the last stage's outputs to every pipeline member
+        # replicate the last stage's outputs to every pipeline member and
+        # restore the flat (b_loc, ...) row layout
         def rep_out(o):
-            return jax.lax.psum(
-                jnp.where(idx == s - 1, o, jnp.zeros_like(o)), axis
-            )
+            o = jax.lax.psum(jnp.where(idx == s - 1, o, jnp.zeros_like(o)), axis)
+            return o.reshape(o.shape[0] * o.shape[1], *o.shape[2:])
 
         return jax.tree_util.tree_map(rep_out, outs)
 
@@ -151,14 +179,10 @@ def gpipe(
     )
     rep_spec = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
 
-    data_size = 1
-    for a in data_axes:
-        data_size *= mesh.shape[a]
-
     def payload_spec(leaf):
-        if leaf.ndim >= 2 and data_axes and leaf.shape[1] % data_size == 0:
-            return P(None, data_axes, *([None] * (leaf.ndim - 2)))
-        return P()
+        # batch-major over the data axes — identical to batch_sharding, so
+        # entering/leaving the shard_map moves nothing
+        return P(data_axes if data_axes else None, *([None] * (leaf.ndim - 1)))
 
     cspec = jax.tree_util.tree_map(payload_spec, carried)
     mspec = (

@@ -58,10 +58,10 @@ def test_base_moe_layer_matches_unsharded():
 
     params = init_moe_params(jax.random.PRNGKey(0), n_exp, d, f)
     params = jax.device_put(params, moe_param_shardings(mesh))
+    # tokens enter data-sharded (replicated over the expert axis); each
+    # expert-axis member slices its 1/E of the resident rows internally
     x = jax.random.normal(jax.random.PRNGKey(1), (tokens, d))
-    x = jax.device_put(
-        x, NamedSharding(mesh, P(("data", "fsdp", "model"), None))
-    )
+    x = jax.device_put(x, NamedSharding(mesh, P(("data", "fsdp"), None)))
 
     out = jax.jit(
         lambda p, xx: base_moe_layer(p, xx, mesh, assignment="sinkhorn")

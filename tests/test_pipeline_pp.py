@@ -21,14 +21,13 @@ def test_gpipe_matches_sequential():
         wi, bi = params
         return jnp.tanh(x @ wi + bi)
 
-    m, mb = 6, 4
-    xs = jax.random.normal(jax.random.PRNGKey(2), (m, mb, d))
+    xs = jax.random.normal(jax.random.PRNGKey(2), (24, d))  # batch-major
 
     out = jax.jit(
-        lambda p, x: gpipe(p, stage_fn, x, mesh, axis="model")
+        lambda p, x: gpipe(p, stage_fn, x, mesh, axis="model", chunks=6)
     )((w, b), xs)
 
-    # sequential reference
+    # sequential reference (rows are independent, layout is row-aligned)
     want = np.asarray(xs)
     for i in range(s):
         want = np.tanh(want @ np.asarray(w[i]) + np.asarray(b[i]))
@@ -44,10 +43,10 @@ def test_gpipe_gradients_flow():
     def stage_fn(wi, consts, bcast, x, mbrow, mb):
         return jnp.tanh(x @ wi)
 
-    xs = jax.random.normal(jax.random.PRNGKey(1), (3, 2, d))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (6, d))
 
     def loss(w):
-        return jnp.sum(gpipe(w, stage_fn, xs, mesh, axis="model") ** 2)
+        return jnp.sum(gpipe(w, stage_fn, xs, mesh, axis="model", chunks=3) ** 2)
 
     g = jax.jit(jax.grad(loss))(w)
 
@@ -68,11 +67,11 @@ def test_gpipe_mb_consts_and_multileaf_carry():
     s = mesh.shape["model"]
     d = 6
     w = jax.random.normal(jax.random.PRNGKey(0), (s, d, d)) * 0.5
-    m, mb = 5, 2
-    xs = jax.random.normal(jax.random.PRNGKey(1), (m, mb, d))
-    ys = jax.random.normal(jax.random.PRNGKey(2), (m, mb, d)).astype(jnp.bfloat16)
-    # per-microbatch additive constant every stage reads (never rotated)
-    c = jax.random.normal(jax.random.PRNGKey(3), (m, mb, d))
+    bsz = 20
+    xs = jax.random.normal(jax.random.PRNGKey(1), (bsz, d))
+    ys = jax.random.normal(jax.random.PRNGKey(2), (bsz, d)).astype(jnp.bfloat16)
+    # per-row additive constant every stage reads (never rotated)
+    c = jax.random.normal(jax.random.PRNGKey(3), (bsz, d))
 
     def stage_fn(wi, consts, bcast, carry, mbrow, mb_idx):
         x, y = carry
@@ -82,7 +81,8 @@ def test_gpipe_mb_consts_and_multileaf_carry():
 
     out_x, out_y = jax.jit(
         lambda p, x, y, cc: gpipe(
-            p, stage_fn, (x, y), mesh, axis="model", mb_consts={"c": cc}
+            p, stage_fn, (x, y), mesh, axis="model", mb_consts={"c": cc},
+            chunks=5,
         )
     )(w, xs, ys, c)
 
@@ -107,9 +107,9 @@ def test_gpipe_rejects_nonfloat_carry():
     def stage_fn(wi, consts, bcast, x, mbrow, mb):
         return x
 
-    xs = jnp.zeros((2, 2, 2), jnp.int32)
+    xs = jnp.zeros((4, 2), jnp.int32)
     try:
-        gpipe(w, stage_fn, xs, mesh, axis="model")
+        gpipe(w, stage_fn, xs, mesh, axis="model", chunks=2)
     except AssertionError as e:
         assert "mb_consts" in str(e)
     else:

@@ -10,6 +10,15 @@ import time
 import jax
 import numpy as np
 
+# persistent compile cache: the remote-tunnel TPU compile of the full train
+# step is minutes cold, seconds warm
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from ifseg_tpu.config import Config, model_config_for_arch
 from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh
 from ifseg_tpu.train.trainer import Trainer
