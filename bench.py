@@ -6,14 +6,29 @@ measurement exists.
 
 Prints exactly one JSON line:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": null}
+
+``bench.py --train`` instead measures the training step at the reference
+config (OFA-Base 512px, global batch 16 — run_scripts/IFSeg/coco_unseen.sh:6,35)
+and prints one JSON line with s/step + derived MFU, so training-perf
+regressions are machine-visible rather than README prose.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: the remote-tunnel TPU compile of the full step is
+# minutes cold, seconds warm (same cache dir as tools/profile_train_step.py)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -69,14 +84,82 @@ def main():
     )
 
 
+def main_train():
+    """Training-step benchmark (bench.py --train)."""
+    from ifseg_tpu.config import Config, model_config_for_arch
+    from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh
+    from ifseg_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg = cfg.replace(model=model_config_for_arch("segofa_base"))
+    cfg.task.num_seg_tokens = cfg.model.num_seg_tokens = 150
+    cfg.optimization.batch_size = 16
+    mesh = build_mesh(
+        MeshConfig(data_parallel=1, fsdp=1, tensor_parallel=1),
+        devices=jax.devices()[:1],
+    )
+
+    rng = np.random.default_rng(0)
+    num_seg = 150
+    tokens = rng.integers(4, 100, size=(num_seg + 1, 5)).astype(np.int32)
+    lengths = rng.integers(1, 6, size=(num_seg + 1,)).astype(np.int32)
+    trainer = Trainer(cfg, mesh, tokens, lengths, total_num_updates=100)
+    trainer.init_state()
+
+    b = 16
+    s = cfg.model.patch_image_size
+    hw16 = (s // 16) ** 2
+    batch = jax.device_put({
+        "patch_images": rng.normal(size=(b, s, s, 3)).astype(np.float32),
+        "src_tokens": rng.integers(4, 100, size=(b, 32)).astype(np.int32),
+        "bos_tokens": np.zeros((b, 1), np.int32),
+        "target": rng.integers(0, num_seg, size=(b, s, s)).astype(np.int32),
+        "downsampled_target": rng.integers(0, num_seg, size=(b, hw16)).astype(np.int32),
+        "aux_grid_ids": rng.integers(0, num_seg, size=(b, hw16)).astype(np.int32),
+        "aux_target": rng.integers(0, num_seg, size=(b, s, s)).astype(np.int32),
+    })
+
+    logs = trainer.train_step(batch)  # compile
+    float(np.asarray(logs["loss"]))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logs = trainer.train_step(batch)
+    float(np.asarray(logs["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+
+    # MFU: ~273 GFLOP forward per 512px image (ResNet-101 stem + 6+6 layer
+    # OFA-Base over 1024+T tokens), x3 for fwd+bwd, + the no-grad monitoring
+    # forward = 4x fwd-equivalent per image; v5e peak ~197 TF/s bf16
+    flops = b * 273e9 * 4
+    mfu = flops / dt / 197e12
+    print(
+        json.dumps(
+            {
+                "metric": "segofa_base_512px_train_step",
+                "value": round(dt, 4),
+                "unit": "s/step(batch16)",
+                "vs_baseline": None,
+                "img_per_s": round(b / dt, 2),
+                "mfu_pct": round(100 * mfu, 1),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
+    train_mode = "--train" in sys.argv[1:]
+    metric = (
+        "segofa_base_512px_train_step" if train_mode
+        else "segofa_base_512px_inference"
+    )
     try:
-        main()
+        main_train() if train_mode else main()
     except Exception as e:  # always emit exactly one JSON line for the driver
         print(
             json.dumps(
                 {
-                    "metric": "segofa_base_512px_inference",
+                    "metric": metric,
                     "value": 0.0,
                     "unit": "images/sec/chip",
                     "vs_baseline": None,

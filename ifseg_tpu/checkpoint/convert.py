@@ -388,3 +388,163 @@ def _reconcile(tree, ref, path=""):
         )
         return ref
     return loaded.astype(np.asarray(ref).dtype if hasattr(ref, "dtype") else np.float32)
+
+
+# -------------------------------------------------- inverse mapping / smoke
+
+def flax_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of the converter's name mapping: flax params -> torch-named
+    state dict.  Used for round-trip tests and for fabricating an
+    ofa_base-shaped .pt when no real weights are on disk (--dry-weights)."""
+    sd: Dict[str, np.ndarray] = {}
+    emb = np.asarray(params["embed_tokens"]["embedding"])
+    sd["encoder.embed_tokens.weight"] = emb
+    sd["decoder.embed_tokens.weight"] = emb
+
+    def put_linear(tname, node):
+        sd[f"{tname}.weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            sd[f"{tname}.bias"] = np.asarray(node["bias"])
+
+    def put_ln(tname, node):
+        sd[f"{tname}.weight"] = np.asarray(node["scale"])
+        sd[f"{tname}.bias"] = np.asarray(node["bias"])
+
+    def put_embed(tname, node):
+        sd[f"{tname}.weight"] = np.asarray(node["embedding"])
+
+    for side in ("encoder", "decoder"):
+        p = params[side]
+        num_layers = sum(1 for k in p if k.startswith("layers_"))
+        for name in ("pos_ln", "image_pos_ln", "layernorm_embedding", "layer_norm"):
+            if name in p:
+                put_ln(f"{side}.{name}", p[name])
+        for name in ("pos_q_linear", "pos_k_linear"):
+            if name in p:
+                put_linear(f"{side}.{name}", p[name])
+        for name in ("embed_positions", "embed_image_positions"):
+            if name in p:
+                put_embed(f"{side}.{name}", p[name])
+        # stacked rel tables -> per-layer ModuleList entries
+        for ours, theirs in (
+            ("token_rel_pos_table", "token_rel_pos_table_list"),
+            ("image_rel_pos_table", "image_rel_pos_table_list"),
+            ("seg_rel_pos_table", "seg_rel_pos_table_list"),
+        ):
+            if ours in p:
+                table = np.asarray(p[ours])
+                for i in range(table.shape[0]):
+                    sd[f"{side}.{theirs}.{i}.weight"] = table[i]
+        for i in range(num_layers):
+            lp = p[f"layers_{i}"]
+            base = f"{side}.layers.{i}"
+            for attn in ("self_attn", "encoder_attn"):
+                if attn not in lp:
+                    continue
+                for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                    put_linear(f"{base}.{attn}.{proj}", lp[attn][proj])
+                if "c_attn" in lp[attn]:
+                    sd[f"{base}.{attn}.c_attn"] = np.asarray(lp[attn]["c_attn"])
+            for ln_name in (
+                "self_attn_layer_norm", "encoder_attn_layer_norm",
+                "final_layer_norm", "attn_ln", "self_attn_ln", "cross_attn_ln",
+            ):
+                if ln_name in lp:
+                    put_ln(f"{base}.{ln_name}", lp[ln_name])
+            put_linear(f"{base}.fc1", lp["ffn"]["fc1"])
+            put_linear(f"{base}.fc2", lp["ffn"]["fc2"])
+            if "ffn_layernorm" in lp["ffn"]:
+                put_ln(f"{base}.ffn_layernorm", lp["ffn"]["ffn_layernorm"])
+            if "w_resid" in lp:
+                sd[f"{base}.w_resid"] = np.asarray(lp["w_resid"])
+
+    # encoder extras
+    enc = params["encoder"]
+    put_embed("encoder.type_embedding", enc["type_embedding"])
+    put_ln("encoder.patch_layernorm_embedding", enc["patch_layernorm_embedding"])
+    put_linear("encoder.image_proj", enc["image_proj"])
+    stem = enc["embed_images"]
+
+    def put_conv(tname, node):
+        sd[f"{tname}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+
+    def put_bn(tname, node):
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{tname}.{leaf}"] = np.asarray(node[leaf])
+
+    put_conv("encoder.embed_images.conv1", stem["conv1"])
+    put_bn("encoder.embed_images.bn1", stem["bn1"])
+    for key, node in stem.items():
+        if not key.startswith("layer"):
+            continue
+        stage, idx = key[5], key.split("_")[1]
+        base = f"encoder.embed_images.layer{stage}.{idx}"
+        for sub in ("conv1", "conv2", "conv3"):
+            put_conv(f"{base}.{sub}", node[sub])
+        for sub in ("bn1", "bn2", "bn3"):
+            put_bn(f"{base}.{sub}", node[sub])
+        if "downsample_conv" in node:
+            put_conv(f"{base}.downsample.0", node["downsample_conv"])
+            put_bn(f"{base}.downsample.1", node["downsample_bn"])
+
+    # decoder extras (seg-specific; absent from a real ofa_base.pt)
+    dec = params["decoder"]
+    if "seg_pos_ln" in dec:
+        put_ln("decoder.seg_pos_ln", dec["seg_pos_ln"])
+    if "embed_seg_positions" in dec:
+        put_embed("decoder.embed_seg_positions", dec["embed_seg_positions"])
+    for name in (
+        "self_pos_q_linear", "self_pos_k_linear",
+        "cross_pos_q_linear", "cross_pos_k_linear",
+    ):
+        if name in dec:
+            put_linear(f"decoder.{name}", dec[name])
+    if "seg_embed_tokens" in dec:
+        sd["decoder.seg_embed_tokens.weight"] = np.asarray(dec["seg_embed_tokens"])
+    return sd
+
+
+_SEG_ONLY_KEYS = (
+    "seg_embed_tokens", "seg_projection", "embed_seg_positions",
+    "seg_pos_ln", "seg_rel_pos_table_list",
+)
+
+
+def fabricate_ofa_base_checkpoint(path: str, model_cfg, seed: int = 0) -> str:
+    """--dry-weights: write a fairseq-envelope torch ``.pt`` whose model
+    state has exactly the SHAPES of a pretrained ``ofa_base.pt`` relative to
+    this config — token embedding one row short of the target vocab (the
+    extra seg/unknown accounting row the surgery appends) and no seg-specific
+    tensors — so the FULL torch-file loader (load_torch_checkpoint ->
+    convert_torch_state_dict -> vocab surgery -> _reconcile backfill) can be
+    smoke-tested end to end before real weights exist
+    (ref utils/checkpoint_utils.py:191-295; run_scripts/IFSeg/coco_unseen.sh:80).
+    """
+    import jax as _jax
+    import torch
+
+    from ifseg_tpu.models.segofa import SegOFAVariables
+
+    _, fresh = SegOFAVariables.init(model_cfg, _jax.random.PRNGKey(seed))
+    sd = flax_to_torch_state_dict(_jax.device_get(fresh))
+    # ofa_base.pt is one row short of the extended IFSeg vocab …
+    for k in ("encoder.embed_tokens.weight", "decoder.embed_tokens.weight"):
+        sd[k] = sd[k][:-1]
+    # … and has no seg-specific parameters
+    sd = {
+        k: v for k, v in sd.items()
+        if not any(seg in k for seg in _SEG_ONLY_KEYS)
+    }
+    state = {
+        "args": None,
+        "cfg": {},
+        "model": {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+        "extra_state": {},
+        "optimizer_history": [],
+    }
+    torch.save(state, path)
+    logger.warning(
+        "--dry-weights: fabricated ofa_base-shaped checkpoint at %s "
+        "(%d tensors) — randomly initialized, for loader smoke only", path, len(sd),
+    )
+    return path

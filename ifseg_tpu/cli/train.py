@@ -129,6 +129,12 @@ def maybe_restore_pretrained(cfg: Config, trainer: Trainer):
         path = finetune
     else:
         path = cfg.checkpoint.restore_file
+    if path and not os.path.exists(path) and cfg.checkpoint.dry_weights:
+        # loader smoke without real weights (VERDICT runbook): fabricate an
+        # ofa_base-shaped .pt and fall through to the full torch loader
+        from ifseg_tpu.checkpoint.convert import fabricate_ofa_base_checkpoint
+
+        fabricate_ofa_base_checkpoint(path, cfg.model)
     if not path or not os.path.exists(path):
         if path:
             logger.warning("restore file %s not found; training from scratch", path)
@@ -250,6 +256,9 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
         except StopIteration:
             pending = None
         i = -1
+        # seed with the restored counter so a resume (or an immediate skip
+        # streak) never re-saves the checkpoint it just loaded
+        last_interval_save = trainer.get_num_updates()
         while pending is not None:
             i += 1
             current, pending = pending, None
@@ -261,7 +270,15 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
                 logs = trainer.train_step(current)
             heartbeat.beat()
             siu = cfg.checkpoint.save_interval_updates
-            if ckpt is not None and siu > 0 and trainer.get_num_updates() % siu == 0:
+            num_updates = trainer.get_num_updates()
+            # the update counter does not advance on non-finite-grad skips;
+            # gate on it having moved past the last interval save so a skip
+            # streak doesn't rewrite the same checkpoint every batch
+            if (
+                ckpt is not None and siu > 0 and num_updates % siu == 0
+                and num_updates > last_interval_save
+            ):
+                last_interval_save = num_updates
                 # mid-epoch checkpoint with the iterator cursor: i+1 batches
                 # of THIS session consumed, plus any restored offset (the
                 # device prefetch reads one batch ahead, so itr's own count

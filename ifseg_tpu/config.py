@@ -305,6 +305,10 @@ class CheckpointConfig:
     best_checkpoint_metric: str = "mIoU"
     maximize_best_checkpoint_metric: bool = True
     no_save: bool = False
+    # if --restore-file does not exist, fabricate an ofa_base-SHAPED torch
+    # .pt there (random weights) and load it through the full torch-file
+    # loader — smoke-tests the convert/surgery path without real weights
+    dry_weights: bool = False
 
 
 @dataclass

@@ -1,16 +1,24 @@
 """ResNet V1.5 image stem (truncated after layer3: stride 16, 1024 channels).
 
 Mirrors models/segofa/resnet.py (torchvision-style bottlenecks, stride on the
-3x3 conv) with frozen batch-norm folded into a scale+bias (frozen_bn.py).
+3x3 conv) with frozen batch-norm folded into the convolution (frozen_bn.py).
 
-TPU-first choices: NHWC layout (XLA's preferred conv layout on TPU), frozen BN
-folded into an affine so the whole stem is conv+mul+add chains XLA fuses; the
-stem runs in the model compute dtype (bf16) with fp32 params.
+TPU-first choices: NHWC layout (XLA's preferred conv layout on TPU); the
+frozen BN affine is folded INTO the conv — scale into the kernel
+(conv(x, W)·s == conv(x, W·s)) and shift as an epilogue bias — and every
+1x1 conv is lowered to a matmul over the channel axis.  TPU convolutions
+are opaque to XLA's loop fusion, so an unfolded stem pays a separate
+HBM-bound elementwise pass per BN/relu/residual (~12 ms/step at 512px
+batch-32 serving, measured v5e); matmuls fuse their whole elementwise
+epilogue (bias + relu + residual add), which removes those passes for the
+two 1x1 convs of every bottleneck and the downsample branch.  The stem runs
+in the model compute dtype (bf16) with fp32 params.
 """
 
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 RESNET_LAYERS = {
@@ -31,34 +39,71 @@ class FrozenBN(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
-        weight = self.param("weight", nn.initializers.ones, (self.features,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        mean = self.param("running_mean", nn.initializers.zeros, (self.features,), jnp.float32)
+    def setup(self):
+        self.weight = self.param(
+            "weight", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        self.running_mean = self.param(
+            "running_mean", nn.initializers.zeros, (self.features,), jnp.float32
+        )
         # reference initializes running_var = 1 - eps so a fresh FrozenBN is identity
-        var = self.param(
+        self.running_var = self.param(
             "running_var",
             lambda key, shape, dtype: jnp.ones(shape, dtype) - self.eps,
             (self.features,),
             jnp.float32,
         )
-        scale = weight * jnp.reciprocal(jnp.sqrt(var + self.eps))
-        shift = bias - mean * scale
+
+    def scale_shift(self):
+        """The affine as (scale, shift) fp32 vectors, for conv folding."""
+        scale = self.weight * jnp.reciprocal(jnp.sqrt(self.running_var + self.eps))
+        shift = self.bias - self.running_mean * scale
+        return scale, shift
+
+    def __call__(self, x):
+        scale, shift = self.scale_shift()
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
 
 
-def _conv(features, kernel, stride, name, dtype):
-    return nn.Conv(
-        features,
-        (kernel, kernel),
-        strides=(stride, stride),
-        padding=[(kernel // 2, kernel // 2)] * 2,
-        use_bias=False,
-        dtype=dtype,
-        param_dtype=jnp.float32,
-        name=name,
-    )
+class _Conv(nn.Module):
+    """Conv with an optional folded FrozenBN (scale into the kernel, shift as
+    epilogue bias); 1x1 convs run as channel-axis matmuls (strided slice
+    first when stride > 1) so XLA fuses the downstream elementwise chain."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale=None, shift=None):
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        if scale is not None:
+            w = w * scale  # per-output-channel; broadcasts over (kh, kw, in)
+        w = w.astype(self.dtype)
+        if self.kernel == 1:
+            if self.stride != 1:
+                x = x[:, :: self.stride, :: self.stride, :]
+            y = jax.lax.dot_general(x, w[0, 0], (((3,), (0,)), ((), ())))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                w,
+                (self.stride, self.stride),
+                [(self.kernel // 2, self.kernel // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if shift is not None:
+            y = y + shift.astype(self.dtype)
+        return y
 
 
 def _valid_mask(y, valid_hw):
@@ -84,16 +129,22 @@ class Bottleneck(nn.Module):
         semantics must see zeros beyond the valid edge); ``valid_out_hw``
         masks the block output."""
         width = self.planes
-        out = _conv(width, 1, 1, "conv1", self.dtype)(x)
-        out = nn.relu(FrozenBN(width, dtype=self.dtype, name="bn1")(out))
+        bn = lambda feats, name: FrozenBN(
+            feats, dtype=self.dtype, name=name
+        ).scale_shift()
+        conv = lambda feats, k, s, name: _Conv(
+            feats, k, stride=s, dtype=self.dtype, name=name
+        )
+        out = nn.relu(conv(width, 1, 1, "conv1")(x, *bn(width, "bn1")))
         out = _valid_mask(out, valid_in_hw)
-        out = _conv(width, 3, self.stride, "conv2", self.dtype)(out)
-        out = nn.relu(FrozenBN(width, dtype=self.dtype, name="bn2")(out))
-        out = _conv(width * 4, 1, 1, "conv3", self.dtype)(out)
-        out = FrozenBN(width * 4, dtype=self.dtype, name="bn3")(out)
+        out = nn.relu(
+            conv(width, 3, self.stride, "conv2")(out, *bn(width, "bn2"))
+        )
+        out = conv(width * 4, 1, 1, "conv3")(out, *bn(width * 4, "bn3"))
         if self.downsample:
-            identity = _conv(width * 4, 1, self.stride, "downsample_conv", self.dtype)(x)
-            identity = FrozenBN(width * 4, dtype=self.dtype, name="downsample_bn")(identity)
+            identity = conv(width * 4, 1, self.stride, "downsample_conv")(
+                x, *bn(width * 4, "downsample_bn")
+            )
         else:
             identity = x
         return _valid_mask(nn.relu(identity + out), valid_out_hw)
@@ -123,9 +174,10 @@ class ResNetStem(nn.Module):
         ceil2 = lambda v: None if v is None else -(-v // 2)
         cur = lambda: (vh, vw) if masked else None
 
-        x = _conv(64, 7, 2, "conv1", self.dtype)(x)
+        s1, b1 = FrozenBN(64, dtype=self.dtype, name="bn1").scale_shift()
+        x = _Conv(64, 7, stride=2, dtype=self.dtype, name="conv1")(x, s1, b1)
         vh, vw = ceil2(vh), ceil2(vw)
-        x = _valid_mask(nn.relu(FrozenBN(64, dtype=self.dtype, name="bn1")(x)), cur())
+        x = _valid_mask(nn.relu(x), cur())
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         vh, vw = ceil2(vh), ceil2(vw)
         x = _valid_mask(x, cur())

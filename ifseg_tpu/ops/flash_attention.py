@@ -8,9 +8,22 @@ the kernel streams q-blocks against resident K/V and never materializes the
 (unify_multihead_attention.py:464-489), which is the main HBM-bandwidth cost
 of the torch model.
 
-Layout: q (B, H, Lq, D), k/v (B, H, Lk, D), bias (H, Lq, Lk) fp32 shared
-across the batch (all OFA biases are batch-independent), optional key padding
-mask (B, Lk).  fp32 accumulation on the MXU, output in the input dtype.
+Two operand layouts:
+  - packed (default model path): q (B, Lq, H*D), k/v (B, Lk, H*D) — exactly
+    the projection outputs — and output (B, Lq, H*D), ready for out_proj.
+    NO (B,H,L,D) transpose ever reaches HBM; at OFA-Base 512px batch-32
+    serving the four layout copies per attention site (q/k/v in + out back)
+    were ~10 ms/step of pure HBM traffic (measured v5e).  Mosaic requires
+    lane-axis blocks to be multiples of 128 (or the full axis), so a block
+    carries HB consecutive heads with HB*D % 128 == 0 (OFA-Base: D=64 ->
+    HB=2) and the kernel slices per-head inside VMEM — a vector relayout
+    that is O(L*D) per program vs the O(bq*L*D) matmuls.
+  - legacy: q (B, H, Lq, D), k/v (B, H, Lk, D) — kept for the ring-attention
+    CP path and existing tests.
+
+Bias is (H, Lq, Lk) fp32 shared across the batch (all OFA biases are
+batch-independent); optional key padding mask (B, Lk).  fp32 accumulation on
+the MXU, output in the input dtype.
 
 No operand is ever padded: the q-block size adapts to Lq (zero or near-zero
 remainder), K/V/bias blocks span the full key length, and the last q block is
@@ -42,14 +55,33 @@ NEG_INF = -1e9
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _pick_bq(lq: int, lk: int) -> int:
+def _heads_per_block(h: int, d: int) -> int:
+    """Packed layout: heads per lane-axis block.  Mosaic requires the last
+    block dim to be a multiple of 128 or the full axis; group the smallest
+    head count whose combined width satisfies that (OFA-Base D=64 -> 2;
+    tiny D=8,H=4 -> 4 == all heads == full E, also legal)."""
+    for hb in range(1, h):
+        if h % hb == 0 and (hb * d) % 128 == 0:
+            return hb
+    return h
+
+
+def _pick_bq(lq: int, lk: int, hb: int = 1, bufs: Optional[int] = None) -> int:
     """Largest q-block <= 512 that (a) minimizes the non-divisible remainder
     and (b) keeps the program's VMEM footprint under budget.
 
-    The dominant VMEM terms scale with bq * lk (fp32 logits + two buffered
-    fp32 bias blocks) — cap bq accordingly, then scan block counts for the
-    best fit (lq=1056 -> bq=352 exact; lq=1025 -> bq=344, 7 masked rows)."""
-    cap = max(_VMEM_BUDGET // (lk * 4 * 3), 128)
+    The dominant VMEM terms scale with bq * lk: ``bufs`` counts the fp32
+    (bq, lk)-sized buffers live per program.  Forward: one logits temporary
+    + two pipeline-buffered bias blocks of hb heads = 2*hb + 1.  Backward
+    kernels carry double-buffered bias in AND dbias out plus ~3 live
+    recompute temporaries per head group = 7*hb (measured: the forward model
+    applied to the dq/dbias kernel at Lq=1025, Lk=1056, hb=2 picked bq=344
+    -> 17.9 MB scoped vmem, over the chip's 16 MB).  Then scan block counts
+    for the best fit (fwd lq=1056 -> bq=352 exact; lq=1025 -> bq=344,
+    7 masked rows)."""
+    if bufs is None:
+        bufs = 2 * hb + 1
+    cap = max(_VMEM_BUDGET // (lk * 4 * bufs), 128)
     cap = min(512, cap)
     best = None
     for nb in range(max(1, -(-lq // cap)), -(-lq // 8) + 1):
@@ -65,38 +97,61 @@ def _pick_bq(lq: int, lk: int) -> int:
     return best[2]
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq):
+def _head_views(ref, packed, hb, d):
+    """Per-head 2-D (rows, d) views of one program's q/k/v/do block."""
+    if not packed:
+        return [ref[0, 0]]
+    blk = ref[0]  # (rows, hb*d)
+    if hb == 1:
+        return [blk]
+    return [blk[:, g * d:(g + 1) * d] for g in range(hb)]
+
+
+def _softmax_rows(logits):
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    return e, jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq,
+                 packed, hb, d):
     # rest = (mask_ref, out_ref) when a batch mask is passed, else (out_ref,)
     mask_ref = rest[:-1]
     out_ref = rest[-1]
     i = pl.program_id(1)
     # keep matmul inputs in their native (bf16) dtype: the MXU runs bf16 at
     # 4x the fp32 rate; accumulation stays fp32 via preferred_element_type
-    q = q_ref[0, 0]  # (bq, D)
-    k = k_ref[0, 0]  # (Lk, D)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, Lk) fp32
-    logits += bias_ref[0].astype(jnp.float32)
-    if mask_ref:  # batch-dependent key padding: fp32 additive (1, Lk) row.
-        # A bool/int mask + where() costs 2.2x kernel time on the VPU
-        # (compare + select + 1-D relayout); a broadcast row add is free and
-        # bit-identical after the max-subtracted exp (measured on v5e).
-        logits += mask_ref[0][0]
-    if causal:
-        rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
-        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(cols > rows + (lk - lq), NEG_INF, logits)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    v = v_ref[0, 0]
-    # normalize AFTER the PV matmul: divides (bq, D) instead of (bq, Lk)
-    acc = jax.lax.dot_general(
-        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0, 0] = (acc / s).astype(out_ref.dtype)
+    qs = _head_views(q_ref, packed, hb, d)
+    ks = _head_views(k_ref, packed, hb, d)
+    vs = _head_views(v_ref, packed, hb, d)
+    outs = []
+    for g in range(len(qs)):
+        logits = jax.lax.dot_general(
+            qs[g], ks[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, Lk) fp32
+        logits += bias_ref[g].astype(jnp.float32)
+        if mask_ref:  # batch-dependent key padding: fp32 additive (1, Lk)
+            # row.  A bool/int mask + where() costs 2.2x kernel time on the
+            # VPU (compare + select + 1-D relayout); a broadcast row add is
+            # free and bit-identical after the max-subtracted exp.
+            logits += mask_ref[0][0]
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
+            cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(cols > rows + (lk - lq), NEG_INF, logits)
+        e, s = _softmax_rows(logits)
+        # normalize AFTER the PV matmul: divides (bq, D) instead of (bq, Lk)
+        acc = jax.lax.dot_general(
+            e.astype(vs[g].dtype), vs[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((acc / s).astype(out_ref.dtype))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    if packed:
+        out_ref[0] = out
+    else:
+        out_ref[0, 0] = out
 
 
 def _mask_to_additive(key_padding_mask):
@@ -118,31 +173,28 @@ def _attention_xla(q, k, v, bias, key_padding_mask, causal):
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def flash_attention_bias(q, k, v, bias, key_padding_mask, causal=False):
-    """Fused attention forward; streaming Pallas backward (or exact XLA
-    recompute, see BACKWARD_IMPL).
+# ------------------------------------------------------------ spec builders
 
-    q (B,H,Lq,D); k,v (B,H,Lk,D); bias (H,Lq,Lk) fp32 or None;
-    key_padding_mask (B,Lk) bool (True = pad) or None.
-    """
-    return _flash_forward(q, k, v, bias, key_padding_mask, causal)
-
-
-# None = auto (interpret when not on TPU hardware); tests may force True
-INTERPRET = None
-
-
-def _interpret_mode() -> bool:
-    if INTERPRET is not None:
-        return INTERPRET
-    return jax.default_backend() not in ("tpu", "axon")
-
-
-def _flash_forward(q, k, v, bias, key_padding_mask, causal):
+def _shapes(q, k, num_heads):
+    """-> (b, h, lq, lk, d, packed, hb)."""
+    if num_heads is not None:  # packed (B, L, H*D)
+        b, lq, e = q.shape
+        d = e // num_heads
+        return b, num_heads, lq, k.shape[1], d, True, _heads_per_block(num_heads, d)
     b, h, lq, d = q.shape
-    lk = k.shape[2]
-    bq = _pick_bq(lq, lk)
+    return b, h, lq, k.shape[2], d, False, 1
+
+
+def _qspec(bq, d, hb, packed, perm4, perm3):
+    return (
+        pl.BlockSpec((1, bq, hb * d), perm3) if packed
+        else pl.BlockSpec((1, 1, bq, d), perm4)
+    )
+
+
+def _flash_forward(q, k, v, bias, key_padding_mask, causal, num_heads=None):
+    b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
+    bq = _pick_bq(lq, lk, hb)
     nb = pl.cdiv(lq, bq)
 
     if bias is None:
@@ -153,28 +205,67 @@ def _flash_forward(q, k, v, bias, key_padding_mask, causal):
     # block is unchanged across consecutive programs and Pallas skips its
     # DMA — without this the fp32 bias is re-fetched per batch element and
     # dominates the kernel's HBM traffic
-    grid = (h, nb, b)
+    grid = (h // hb, nb, b)
     in_specs = [
-        pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
-        pl.BlockSpec((1, 1, lk, d), lambda h_, i, b_: (b_, h_, 0, 0)),
-        pl.BlockSpec((1, 1, lk, d), lambda h_, i, b_: (b_, h_, 0, 0)),
-        pl.BlockSpec((1, bq, lk), lambda h_, i, b_: (h_, i, 0)),
+        _qspec(bq, d, hb, packed,
+               lambda h_, i, b_: (b_, h_, i, 0), lambda h_, i, b_: (b_, i, h_)),
+        _qspec(lk, d, hb, packed,
+               lambda h_, i, b_: (b_, h_, 0, 0), lambda h_, i, b_: (b_, 0, h_)),
+        _qspec(lk, d, hb, packed,
+               lambda h_, i, b_: (b_, h_, 0, 0), lambda h_, i, b_: (b_, 0, h_)),
+        pl.BlockSpec((hb, bq, lk), lambda h_, i, b_: (h_, i, 0)),
     ]
     if key_padding_mask is not None:
         inputs.append(_mask_to_additive(key_padding_mask))
         in_specs.append(pl.BlockSpec((1, 1, lk), lambda h_, i, b_: (b_, 0, 0)))
 
     kernel = functools.partial(
-        _attn_kernel, causal=causal, lq=lq, lk=lk, bq=bq
+        _attn_kernel, causal=causal, lq=lq, lk=lk, bq=bq, packed=packed,
+        hb=hb, d=d,
     )
+    out_shape = (b, lq, h * d) if packed else (b, h, lq, d)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+        out_specs=_qspec(bq, d, hb, packed,
+                         lambda h_, i, b_: (b_, h_, i, 0),
+                         lambda h_, i, b_: (b_, i, h_)),
+        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         interpret=_interpret_mode(),
     )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def flash_attention_bias(q, k, v, bias, key_padding_mask, causal=False):
+    """Fused attention forward; streaming Pallas backward (or exact XLA
+    recompute, see BACKWARD_IMPL).  Legacy layout:
+
+    q (B,H,Lq,D); k,v (B,H,Lk,D); bias (H,Lq,Lk) fp32 or None;
+    key_padding_mask (B,Lk) bool (True = pad) or None.
+    """
+    return _flash_forward(q, k, v, bias, key_padding_mask, causal)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_bias_packed(q, k, v, bias, key_padding_mask, causal,
+                                num_heads):
+    """Packed-layout fused attention: q (B,Lq,H*D), k/v (B,Lk,H*D) — the raw
+    projection outputs — and output (B,Lq,H*D).  No head transpose touches
+    HBM in either direction (blocks carry head groups; see module doc)."""
+    return _flash_forward(
+        q, k, v, bias, key_padding_mask, causal, num_heads=num_heads
+    )
+
+
+# None = auto (interpret when not on TPU hardware); tests may force True
+INTERPRET = None
+
+
+def _interpret_mode() -> bool:
+    if INTERPRET is not None:
+        return INTERPRET
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 # --------------------------------------------------------------- backward
@@ -193,9 +284,7 @@ def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
     if causal:
         cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(cols > rows + (lk - lq), NEG_INF, logits)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
+    e, s = _softmax_rows(logits)
     p = e / s
     if lq % bq != 0:
         p = jnp.where(rows < lq, p, 0.0)
@@ -203,93 +292,121 @@ def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
 
 
 def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
-                         causal, lq, lk, bq, nb):
+                         causal, lq, lk, bq, nb, packed, hb, d):
     mask_ref = rest[:-2]
     dq_ref, dbias_ref = rest[-2], rest[-1]
     i = pl.program_id(1)
     b_idx = pl.program_id(2)
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    p = _recompute_p(q, k, bias_ref[0], mask_ref, causal, i, bq, lq, lk)
-    do = do_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0]
-    dp = jax.lax.dot_general(
-        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bq, Lk)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    di = jnp.sum(do * o, axis=-1, keepdims=True)
-    dlogits = p * (dp - di)  # fp32 (bq, Lk); zero rows past Lq (p is zeroed)
-    dq = jax.lax.dot_general(
-        dlogits.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    qs = _head_views(q_ref, packed, hb, d)
+    ks = _head_views(k_ref, packed, hb, d)
+    vs = _head_views(v_ref, packed, hb, d)
+    dos = _head_views(do_ref, packed, hb, d)
+
     # dbias accumulates over the (innermost) batch dimension
     @pl.when(b_idx == 0)
     def _():
-        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
 
-    dbias_ref[0] += dlogits
+    dqs = []
+    for g in range(len(qs)):
+        q, k, v = qs[g], ks[g], vs[g]
+        p = _recompute_p(q, k, bias_ref[g], mask_ref, causal, i, bq, lq, lk)
+        do = dos[g].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, Lk)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        di = jnp.sum(do * o, axis=-1, keepdims=True)
+        dlogits = p * (dp - di)  # fp32; zero rows past Lq (p is zeroed)
+        dq = jax.lax.dot_general(
+            dlogits.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqs.append(dq.astype(dq_ref.dtype))
+        dbias_ref[g] += dlogits
+    dq = dqs[0] if len(dqs) == 1 else jnp.concatenate(dqs, axis=-1)
+    if packed:
+        dq_ref[0] = dq
+    else:
+        dq_ref[0, 0] = dq
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
-                    causal, lq, lk, bq, nb):
+                    causal, lq, lk, bq, nb, packed, hb, d):
     mask_ref = rest[:-2]
     dk_ref, dv_ref = rest[-2], rest[-1]
     i = pl.program_id(2)  # q-block index is innermost here
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    p = _recompute_p(q, k, bias_ref[0], mask_ref, causal, i, bq, lq, lk)
-    do = do_ref[0, 0].astype(jnp.float32)
-    if lq % bq != 0:
-        # garbage rows of the last q block may read NaN/Inf; zeroing p alone
-        # is not enough (0 * NaN = NaN inside the cross-row matmul sums), so
-        # the cotangent rows must be zeroed too
-        rows = jax.lax.broadcasted_iota(jnp.int32, do.shape, 0) + i * bq
-        do = jnp.where(rows < lq, do, 0.0)
-    dp = jax.lax.dot_general(
-        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    di = jnp.sum(do * o, axis=-1, keepdims=True)
-    dlogits = p * (dp - di)
-    if lq % bq != 0:
-        rows_l = jax.lax.broadcasted_iota(jnp.int32, dlogits.shape, 0) + i * bq
-        dlogits = jnp.where(rows_l < lq, dlogits, 0.0)
-    dv_c = jax.lax.dot_general(  # (Lk, D) = p^T @ do
-        p.astype(do_ref.dtype), do.astype(do_ref.dtype),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    dk_c = jax.lax.dot_general(  # (Lk, D) = dlogits^T @ q
-        dlogits.astype(q.dtype), q,
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+    qs = _head_views(q_ref, packed, hb, d)
+    ks = _head_views(k_ref, packed, hb, d)
+    vs = _head_views(v_ref, packed, hb, d)
+    dos = _head_views(do_ref, packed, hb, d)
+    g_dtype = do_ref.dtype
+
+    dks, dvs = [], []
+    for g in range(len(qs)):
+        q, k, v = qs[g], ks[g], vs[g]
+        p = _recompute_p(q, k, bias_ref[g], mask_ref, causal, i, bq, lq, lk)
+        do = dos[g].astype(jnp.float32)
+        if lq % bq != 0:
+            # garbage rows of the last q block may read NaN/Inf; zeroing p
+            # alone is not enough (0 * NaN = NaN inside the cross-row matmul
+            # sums), so the cotangent rows must be zeroed too
+            rows = jax.lax.broadcasted_iota(jnp.int32, do.shape, 0) + i * bq
+            do = jnp.where(rows < lq, do, 0.0)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        di = jnp.sum(do * o, axis=-1, keepdims=True)
+        dlogits = p * (dp - di)
+        if lq % bq != 0:
+            rows_l = jax.lax.broadcasted_iota(jnp.int32, dlogits.shape, 0) + i * bq
+            dlogits = jnp.where(rows_l < lq, dlogits, 0.0)
+        dv_c = jax.lax.dot_general(  # (Lk, D) = p^T @ do
+            p.astype(g_dtype), do.astype(g_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dk_c = jax.lax.dot_general(  # (Lk, D) = dlogits^T @ q
+            dlogits.astype(q.dtype), q,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dks.append(dk_c.astype(dk_ref.dtype))
+        dvs.append(dv_c.astype(dv_ref.dtype))
+    dk = dks[0] if len(dks) == 1 else jnp.concatenate(dks, axis=-1)
+    dv = dvs[0] if len(dvs) == 1 else jnp.concatenate(dvs, axis=-1)
 
     @pl.when(i == 0)
     def _():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        if packed:
+            dk_ref[0] = jnp.zeros_like(dk_ref[0])
+            dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        else:
+            dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+            dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
-    dk_ref[0, 0] += dk_c.astype(dk_ref.dtype)
-    dv_ref[0, 0] += dv_c.astype(dv_ref.dtype)
+    if packed:
+        dk_ref[0] += dk
+        dv_ref[0] += dv
+    else:
+        dk_ref[0, 0] += dk
+        dv_ref[0, 0] += dv
 
 
-def _flash_backward(q, k, v, bias, key_padding_mask, causal, g):
+def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
+                    num_heads=None):
     """Pallas backward: streams q-blocks like the forward, recomputing the
     probabilities — no (B, H, Lq, Lk) tensor ever reaches HBM (the XLA
     autodiff fallback materializes it in fp32, the dominant training cost)."""
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
-    bq = _pick_bq(lq, lk)
+    b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
+    bq = _pick_bq(lq, lk, hb, bufs=7 * hb)
     nb = pl.cdiv(lq, bq)
 
     had_bias = bias is not None
@@ -301,53 +418,60 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g):
     if key_padding_mask is not None:
         mask_input = [_mask_to_additive(key_padding_mask)]
 
-    qspec = lambda perm: pl.BlockSpec((1, 1, bq, d), perm)
-    kspec = lambda perm: pl.BlockSpec((1, 1, lk, d), perm)
+    qspec = lambda perm4, perm3: _qspec(bq, d, hb, packed, perm4, perm3)
+    kspec = lambda perm4, perm3: _qspec(lk, d, hb, packed, perm4, perm3)
+    q_shape = (b, lq, h * d) if packed else (b, h, lq, d)
+    k_shape = (b, lk, h * d) if packed else (b, h, lk, d)
+    kw = dict(causal=causal, lq=lq, lk=lk, bq=bq, nb=nb, packed=packed,
+              hb=hb, d=d)
 
     # kernel A: dq (write-once) + dbias (accumulate over innermost b)
-    grid_a = (h, nb, b)
+    grid_a = (h // hb, nb, b)
     in_specs_a = [
-        qspec(lambda h_, i, b_: (b_, h_, i, 0)),
-        kspec(lambda h_, i, b_: (b_, h_, 0, 0)),
-        kspec(lambda h_, i, b_: (b_, h_, 0, 0)),
-        pl.BlockSpec((1, bq, lk), lambda h_, i, b_: (h_, i, 0)),
-        qspec(lambda h_, i, b_: (b_, h_, i, 0)),
+        qspec(lambda h_, i, b_: (b_, h_, i, 0), lambda h_, i, b_: (b_, i, h_)),
+        kspec(lambda h_, i, b_: (b_, h_, 0, 0), lambda h_, i, b_: (b_, 0, h_)),
+        kspec(lambda h_, i, b_: (b_, h_, 0, 0), lambda h_, i, b_: (b_, 0, h_)),
+        pl.BlockSpec((hb, bq, lk), lambda h_, i, b_: (h_, i, 0)),
+        qspec(lambda h_, i, b_: (b_, h_, i, 0), lambda h_, i, b_: (b_, i, h_)),
     ] + ([pl.BlockSpec((1, 1, lk), lambda h_, i, b_: (b_, 0, 0))] if mask_input else [])
     dq, dbias = pl.pallas_call(
-        functools.partial(_bwd_dq_dbias_kernel, causal=causal, lq=lq, lk=lk, bq=bq, nb=nb),
+        functools.partial(_bwd_dq_dbias_kernel, **kw),
         grid=grid_a,
         in_specs=in_specs_a,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda h_, i, b_: (b_, h_, i, 0)),
-            pl.BlockSpec((1, bq, lk), lambda h_, i, b_: (h_, i, 0)),
+            qspec(lambda h_, i, b_: (b_, h_, i, 0),
+                  lambda h_, i, b_: (b_, i, h_)),
+            pl.BlockSpec((hb, bq, lk), lambda h_, i, b_: (h_, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct(q_shape, q.dtype),
             jax.ShapeDtypeStruct((h, lq, lk), jnp.float32),
         ],
         interpret=_interpret_mode(),
     )(*base_inputs, *mask_input)
 
     # kernel B: dk/dv accumulate over innermost q-block index
-    grid_b = (h, b, nb)
+    grid_b = (h // hb, b, nb)
     in_specs_b = [
-        qspec(lambda h_, b_, i: (b_, h_, i, 0)),
-        kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
-        kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
-        pl.BlockSpec((1, bq, lk), lambda h_, b_, i: (h_, i, 0)),
-        qspec(lambda h_, b_, i: (b_, h_, i, 0)),
+        qspec(lambda h_, b_, i: (b_, h_, i, 0), lambda h_, b_, i: (b_, i, h_)),
+        kspec(lambda h_, b_, i: (b_, h_, 0, 0), lambda h_, b_, i: (b_, 0, h_)),
+        kspec(lambda h_, b_, i: (b_, h_, 0, 0), lambda h_, b_, i: (b_, 0, h_)),
+        pl.BlockSpec((hb, bq, lk), lambda h_, b_, i: (h_, i, 0)),
+        qspec(lambda h_, b_, i: (b_, h_, i, 0), lambda h_, b_, i: (b_, i, h_)),
     ] + ([pl.BlockSpec((1, 1, lk), lambda h_, b_, i: (b_, 0, 0))] if mask_input else [])
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, causal=causal, lq=lq, lk=lk, bq=bq, nb=nb),
+        functools.partial(_bwd_dkv_kernel, **kw),
         grid=grid_b,
         in_specs=in_specs_b,
         out_specs=[
-            kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
-            kspec(lambda h_, b_, i: (b_, h_, 0, 0)),
+            kspec(lambda h_, b_, i: (b_, h_, 0, 0),
+                  lambda h_, b_, i: (b_, 0, h_)),
+            kspec(lambda h_, b_, i: (b_, h_, 0, 0),
+                  lambda h_, b_, i: (b_, 0, h_)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, lk, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, lk, d), q.dtype),
+            jax.ShapeDtypeStruct(k_shape, q.dtype),
+            jax.ShapeDtypeStruct(k_shape, q.dtype),
         ],
         interpret=_interpret_mode(),
     )(*base_inputs, *mask_input)
@@ -360,6 +484,12 @@ def _fwd(q, k, v, bias, key_padding_mask, causal):
     return _flash_forward(q, k, v, bias, key_padding_mask, causal), (
         q, k, v, bias, key_padding_mask,
     )
+
+
+def _fwd_packed(q, k, v, bias, key_padding_mask, causal, num_heads):
+    return _flash_forward(
+        q, k, v, bias, key_padding_mask, causal, num_heads=num_heads
+    ), (q, k, v, bias, key_padding_mask)
 
 
 # Backward implementation, A/B-measured on v5e at the reference train config
@@ -388,7 +518,31 @@ def _bwd(causal, res, g):
     return dq, dk, dv, (db if bias is not None else None), None
 
 
+def _bwd_packed(causal, num_heads, res, g):
+    q, k, v, bias, key_padding_mask = res
+    if BACKWARD_IMPL == "pallas":
+        dq, dk, dv, db = _flash_backward(
+            q, k, v, bias, key_padding_mask, causal, g, num_heads=num_heads
+        )
+        return dq, dk, dv, db, None
+    # XLA recompute fallback: reshape to the legacy layout
+    b, lq, e = q.shape
+    lk = k.shape[1]
+    d = e // num_heads
+    to4 = lambda t, ln: t.reshape(b, ln, num_heads, d).transpose(0, 2, 1, 3)
+    to3 = lambda t, ln: t.transpose(0, 2, 1, 3).reshape(b, ln, e)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _attention_xla(q_, k_, v_, b_, key_padding_mask, causal),
+        to4(q, lq), to4(k, lk), to4(v, lk),
+        bias if bias is not None else jnp.zeros((num_heads, lq, lk), jnp.float32),
+    )
+    dq, dk, dv, db = vjp(to4(g, lq))
+    return (to3(dq, lq), to3(dk, lk), to3(dv, lk),
+            (db if bias is not None else None), None)
+
+
 flash_attention_bias.defvjp(_fwd, _bwd)
+flash_attention_bias_packed.defvjp(_fwd_packed, _bwd_packed)
 
 
 def flash_available() -> bool:

@@ -106,9 +106,13 @@ def fixed_schedule(lr: float):
 def manual_schedule(lr: float, epoch_boundaries=(), epoch_lrs=(), updates_per_epoch=1):
     """optim/lr_scheduler/manual_lr_scheduler.py: piecewise-constant lr from
     an explicit (epoch -> lr) table, here keyed by update via
-    updates_per_epoch (static shapes: the table is baked into the jit)."""
+    updates_per_epoch (static shapes: the table is baked into the jit).
+
+    fairseq epochs are 1-indexed and ManualSchedule applies the lr of the
+    largest key <= epoch at epoch *begin*, i.e. epoch e starts at update
+    (e-1)*updates_per_epoch — hence the (b - 1) boundary."""
     bounds = jnp.asarray(
-        [b * updates_per_epoch for b in epoch_boundaries], jnp.float32
+        [(b - 1) * updates_per_epoch for b in epoch_boundaries], jnp.float32
     )
     lrs = jnp.asarray((lr,) + tuple(epoch_lrs), jnp.float32)
 
@@ -235,10 +239,13 @@ def build_schedule(name: str, lr: float, total_num_updates: int, opt_cfg=None):
         )
     if name == "tri_stage":
         wu = getattr(opt_cfg, "warmup_updates", 0)
+        hold = getattr(opt_cfg, "hold_updates", 0)
         return tri_stage_schedule(
             lr, warmup_steps=wu,
-            hold_steps=getattr(opt_cfg, "hold_updates", 0),
-            decay_steps=max(total_num_updates - wu, 1),
+            hold_steps=hold,
+            # decay spans only the post-hold remainder so final_lr_scale*lr
+            # is actually reached by total_num_updates
+            decay_steps=max(total_num_updates - wu - hold, 1),
         )
     if name == "manual":
         # "--manual-lr-schedule=epoch:lr,epoch:lr" (epoch2lr table); epochs

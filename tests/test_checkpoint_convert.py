@@ -36,110 +36,9 @@ def tiny_cfg(num_seg=5):
     )
 
 
-def flax_to_torch_sd(params, num_layers=2):
-    """Inverse of the converter's name mapping, for round-trip testing."""
-    sd = {}
-    emb = np.asarray(params["embed_tokens"]["embedding"])
-    sd["encoder.embed_tokens.weight"] = emb
-    sd["decoder.embed_tokens.weight"] = emb
-
-    def put_linear(tname, node):
-        sd[f"{tname}.weight"] = np.asarray(node["kernel"]).T
-        if "bias" in node:
-            sd[f"{tname}.bias"] = np.asarray(node["bias"])
-
-    def put_ln(tname, node):
-        sd[f"{tname}.weight"] = np.asarray(node["scale"])
-        sd[f"{tname}.bias"] = np.asarray(node["bias"])
-
-    def put_embed(tname, node):
-        sd[f"{tname}.weight"] = np.asarray(node["embedding"])
-
-    for side in ("encoder", "decoder"):
-        p = params[side]
-        for name in ("pos_ln", "image_pos_ln", "layernorm_embedding", "layer_norm"):
-            if name in p:
-                put_ln(f"{side}.{name}", p[name])
-        for name in ("pos_q_linear", "pos_k_linear"):
-            if name in p:
-                put_linear(f"{side}.{name}", p[name])
-        for name in ("embed_positions", "embed_image_positions"):
-            if name in p:
-                put_embed(f"{side}.{name}", p[name])
-        # stacked rel tables -> per-layer ModuleList entries
-        for ours, theirs in (
-            ("token_rel_pos_table", "token_rel_pos_table_list"),
-            ("image_rel_pos_table", "image_rel_pos_table_list"),
-            ("seg_rel_pos_table", "seg_rel_pos_table_list"),
-        ):
-            if ours in p:
-                table = np.asarray(p[ours])
-                for i in range(table.shape[0]):
-                    sd[f"{side}.{theirs}.{i}.weight"] = table[i]
-        for i in range(num_layers):
-            lp = p[f"layers_{i}"]
-            base = f"{side}.layers.{i}"
-            for attn in ("self_attn", "encoder_attn"):
-                if attn not in lp:
-                    continue
-                for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-                    put_linear(f"{base}.{attn}.{proj}", lp[attn][proj])
-                if "c_attn" in lp[attn]:
-                    sd[f"{base}.{attn}.c_attn"] = np.asarray(lp[attn]["c_attn"])
-            for ln_name in (
-                "self_attn_layer_norm", "encoder_attn_layer_norm",
-                "final_layer_norm", "attn_ln", "self_attn_ln", "cross_attn_ln",
-            ):
-                if ln_name in lp:
-                    put_ln(f"{base}.{ln_name}", lp[ln_name])
-            put_linear(f"{base}.fc1", lp["ffn"]["fc1"])
-            put_linear(f"{base}.fc2", lp["ffn"]["fc2"])
-            if "ffn_layernorm" in lp["ffn"]:
-                put_ln(f"{base}.ffn_layernorm", lp["ffn"]["ffn_layernorm"])
-            if "w_resid" in lp:
-                sd[f"{base}.w_resid"] = np.asarray(lp["w_resid"])
-
-    # encoder extras
-    enc = params["encoder"]
-    put_embed("encoder.type_embedding", enc["type_embedding"])
-    put_ln("encoder.patch_layernorm_embedding", enc["patch_layernorm_embedding"])
-    put_linear("encoder.image_proj", enc["image_proj"])
-    # resnet stem
-    stem = enc["embed_images"]
-
-    def put_conv(tname, node):
-        sd[f"{tname}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
-
-    def put_bn(tname, node):
-        for leaf in ("weight", "bias", "running_mean", "running_var"):
-            sd[f"{tname}.{leaf}"] = np.asarray(node[leaf])
-
-    put_conv("encoder.embed_images.conv1", stem["conv1"])
-    put_bn("encoder.embed_images.bn1", stem["bn1"])
-    for key, node in stem.items():
-        if not key.startswith("layer"):
-            continue
-        stage, idx = key[5], key.split("_")[1]
-        base = f"encoder.embed_images.layer{stage}.{idx}"
-        for sub in ("conv1", "conv2", "conv3"):
-            put_conv(f"{base}.{sub}", node[sub])
-        for sub in ("bn1", "bn2", "bn3"):
-            put_bn(f"{base}.{sub}", node[sub])
-        if "downsample_conv" in node:
-            put_conv(f"{base}.downsample.0", node["downsample_conv"])
-            put_bn(f"{base}.downsample.1", node["downsample_bn"])
-
-    # decoder extras
-    dec = params["decoder"]
-    put_ln("decoder.seg_pos_ln", dec["seg_pos_ln"])
-    put_embed("decoder.embed_seg_positions", dec["embed_seg_positions"])
-    for name in (
-        "self_pos_q_linear", "self_pos_k_linear",
-        "cross_pos_q_linear", "cross_pos_k_linear",
-    ):
-        put_linear(f"decoder.{name}", dec[name])
-    sd["decoder.seg_embed_tokens.weight"] = np.asarray(dec["seg_embed_tokens"])
-    return sd
+# the inverse name mapping moved into the library (it also powers the
+# --dry-weights fabricator); round-trip tests exercise the shared code
+from ifseg_tpu.checkpoint.convert import flax_to_torch_state_dict as flax_to_torch_sd  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -223,6 +122,51 @@ def test_conv_layout_matches_torch(fresh):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_dry_weights_full_loader(tmp_path):
+    """--dry-weights smoke (VERDICT #6): fabricate an ofa_base-SHAPED torch
+    .pt (one vocab row short, no seg tensors, fairseq envelope) and restore
+    it through the FULL torch-file loader path used by cli/train.py —
+    torch.save file -> load_torch_checkpoint -> convert -> vocab surgery ->
+    _reconcile backfill (ref utils/checkpoint_utils.py:191-295)."""
+    pytest.importorskip("torch")
+    import dataclasses
+
+    from ifseg_tpu.checkpoint.convert import fabricate_ofa_base_checkpoint
+    from ifseg_tpu.cli.train import maybe_restore_pretrained
+    from ifseg_tpu.config import Config
+
+    mcfg = tiny_cfg()
+    path = str(tmp_path / "ofa_dry.pt")
+    fabricate_ofa_base_checkpoint(path, mcfg)
+
+    cfg = Config()
+    cfg = cfg.replace(
+        model=mcfg,
+        checkpoint=dataclasses.replace(cfg.checkpoint, restore_file=path),
+    )
+    params = maybe_restore_pretrained(cfg, trainer=None)
+    assert params is not None
+    # surgery appended the missing vocab row
+    assert params["embed_tokens"]["embedding"].shape[0] == mcfg.vocab_size
+    # seg-specific tensors were backfilled with fresh init and exist
+    assert "seg_embed_tokens" in params["decoder"]
+    # the restored tree must run the full forward
+    import jax.numpy as jnp
+
+    model, ref = SegOFAVariables.init(mcfg, jax.random.PRNGKey(1))
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        jax.device_get(ref)
+    )
+    logits, _ = model.apply(
+        {"params": params},
+        src_tokens=jnp.zeros((1, 8), jnp.int32),
+        patch_images=jnp.zeros((1, 64, 64, 3), jnp.float32),
+        patch_masks=jnp.ones((1,), bool),
+        bos_tokens=jnp.zeros((1, 1), jnp.int32),
+    )
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
 
 
 def test_prune_layers_renumbers_and_loads():

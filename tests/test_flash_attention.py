@@ -104,3 +104,68 @@ def test_pallas_backward_impl_matches_xla():
             )
     finally:
         fa.BACKWARD_IMPL = old
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_matches_legacy(causal):
+    """Packed (B, L, H*D) layout == legacy (B, H, L, D) layout, fwd + grads
+    (the packed path is the model default: no HBM head transposes)."""
+    b, h, lq, lk, d = 2, 4, 72, 72, 16
+    q = _rand((b, h, lq, d), 0)
+    k = _rand((b, h, lk, d), 1)
+    v = _rand((b, h, lk, d), 2)
+    bias = _rand((h, lq, lk), 3)
+    mask = np.zeros((b, lk), bool)
+    mask[0, lk - 5:] = True
+    mask = jnp.asarray(mask)
+    to3 = lambda t: t.transpose(0, 2, 1, 3).reshape(b, t.shape[2], h * d)
+
+    ref = fa.flash_attention_bias(q, k, v, bias, mask, causal)
+    got = fa.flash_attention_bias_packed(
+        to3(q), to3(k), to3(v), bias, mask, causal, h
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(to3(ref)), atol=2e-5, rtol=2e-5
+    )
+
+    def loss4(q, k, v, bias):
+        return jnp.sum(fa.flash_attention_bias(q, k, v, bias, mask, causal) ** 2)
+
+    def loss3(q, k, v, bias):
+        return jnp.sum(
+            fa.flash_attention_bias_packed(q, k, v, bias, mask, causal, h) ** 2
+        )
+
+    g4 = jax.grad(loss4, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g3 = jax.grad(loss3, argnums=(0, 1, 2, 3))(to3(q), to3(k), to3(v), bias)
+    np.testing.assert_allclose(np.asarray(g3[0]), np.asarray(to3(g4[0])), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g3[1]), np.asarray(to3(g4[1])), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g3[2]), np.asarray(to3(g4[2])), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g3[3]), np.asarray(g4[3]), atol=2e-4, rtol=2e-4)
+
+
+def test_packed_xla_backward_fallback():
+    """BACKWARD_IMPL=xla reshapes packed operands to the legacy layout."""
+    old = fa.BACKWARD_IMPL
+    try:
+        b, h, l, d = 1, 2, 64, 16
+        q3 = _rand((b, l, h * d), 0)
+        k3 = _rand((b, l, h * d), 1)
+        v3 = _rand((b, l, h * d), 2)
+        bias = _rand((h, l, l), 3)
+
+        def loss(q, k, v, bias):
+            return jnp.sum(
+                fa.flash_attention_bias_packed(q, k, v, bias, None, False, h) ** 2
+            )
+
+        fa.BACKWARD_IMPL = "pallas"
+        gp = jax.grad(loss, argnums=(0, 1, 2, 3))(q3, k3, v3, bias)
+        fa.BACKWARD_IMPL = "xla"
+        gx = jax.grad(loss, argnums=(0, 1, 2, 3))(q3, k3, v3, bias)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4
+            )
+    finally:
+        fa.BACKWARD_IMPL = old

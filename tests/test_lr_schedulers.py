@@ -20,10 +20,11 @@ from ifseg_tpu.train.optim import (
 def test_manual_schedule_piecewise():
     s = manual_schedule(0.1, epoch_boundaries=(2, 5), epoch_lrs=(0.05, 0.01),
                         updates_per_epoch=10)
+    # fairseq epochs are 1-indexed: epoch 2 starts at update 10
     assert np.isclose(float(s(0)), 0.1)
-    assert np.isclose(float(s(19)), 0.1)
-    assert np.isclose(float(s(20)), 0.05)
-    assert np.isclose(float(s(50)), 0.01)
+    assert np.isclose(float(s(9)), 0.1)
+    assert np.isclose(float(s(10)), 0.05)
+    assert np.isclose(float(s(40)), 0.01)
 
 
 def test_triangular_cycles():
@@ -41,6 +42,16 @@ def test_tri_stage_phases():
     assert np.isclose(float(s(10)), 0.1)
     assert np.isclose(float(s(15)), 0.1)  # hold
     assert np.isclose(float(s(120)), 0.001, rtol=1e-3)  # fully decayed
+
+
+def test_tri_stage_hold_reaches_final_by_total():
+    import types
+
+    cfg = types.SimpleNamespace(warmup_updates=10, hold_updates=20)
+    s = build_schedule("tri_stage", 0.1, total_num_updates=100, opt_cfg=cfg)
+    # decay must span total - warmup - hold so final_lr_scale*lr (0.001)
+    # is reached at total_num_updates even with a nonzero hold phase
+    assert float(s(100)) == pytest.approx(0.001, rel=1e-3)
 
 
 def test_build_schedule_new_names():
@@ -80,13 +91,14 @@ def test_manual_schedule_from_config():
         lr_scheduler="manual", manual_lr_schedule="2:0.01, 4:0.001",
         max_epoch=10, warmup_updates=0, warmup_ratio=0.0,
     )
-    # 10 epochs x 10 updates each
+    # 10 epochs x 10 updates each; epochs are 1-indexed so epoch e starts
+    # at update (e-1)*10
     s = build_schedule("manual", 0.1, total_num_updates=100, opt_cfg=cfg)
     assert float(s(0)) == pytest.approx(0.1)
-    assert float(s(19)) == pytest.approx(0.1)      # epoch 1
-    assert float(s(20)) == pytest.approx(0.01)     # epoch 2 boundary
-    assert float(s(39)) == pytest.approx(0.01)
-    assert float(s(40)) == pytest.approx(0.001)    # epoch 4 boundary
+    assert float(s(9)) == pytest.approx(0.1)       # epoch 1
+    assert float(s(10)) == pytest.approx(0.01)     # epoch 2 begins
+    assert float(s(29)) == pytest.approx(0.01)
+    assert float(s(30)) == pytest.approx(0.001)    # epoch 4 begins
     assert float(s(99)) == pytest.approx(0.001)
 
 

@@ -544,7 +544,7 @@ def setup():
     cfg = tiny_cfg()
     _, fresh = SegOFAVariables.init(cfg, jax.random.PRNGKey(0))
     params = randomize(jax.device_get(fresh))
-    sd = flax_to_torch_sd(params, num_layers=cfg.encoder_layers)
+    sd = flax_to_torch_sd(params)
     jax_params = convert_torch_state_dict(sd, cfg.vocab_size, reference_params=params)
     model = SegOFA(cfg)
     return cfg, model, jax_params, sd
