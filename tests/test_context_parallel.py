@@ -1,6 +1,7 @@
 """Ring attention (context parallelism) vs dense attention."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ifseg_tpu.parallel.context import ring_attention
 from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh
+
+pytestmark = pytest.mark.slow
 
 
 def dense(q, k, v, bias):

@@ -18,6 +18,8 @@ from ifseg_tpu.ops.crf_jax import (
     spatial_filter,
 )
 
+pytestmark = pytest.mark.slow
+
 
 # numpy port of permutohedral.h (exact reference)
 def np_lattice(feats):

@@ -15,6 +15,8 @@ from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh, mesh_from_config, mo
 from ifseg_tpu.parallel.plan import ParallelPlan, plan_from_config
 from ifseg_tpu.models.segofa import SegOFA, SegOFAVariables
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(**kw):
     over = dict(

@@ -1,12 +1,15 @@
 """GPipe pipeline parallelism on the CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh
 from ifseg_tpu.parallel.pipeline import gpipe
+
+pytestmark = pytest.mark.slow
 
 
 def test_gpipe_matches_sequential():

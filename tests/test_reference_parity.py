@@ -37,6 +37,8 @@ from ifseg_tpu.models.segofa import SegOFA, SegOFAVariables  # noqa: E402
 
 from test_checkpoint_convert import flax_to_torch_sd  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 PAD = 1
 
 

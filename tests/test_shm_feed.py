@@ -5,6 +5,8 @@ import pytest
 
 from ifseg_tpu.data.shm_feed import ShmBatchFeed
 
+pytestmark = pytest.mark.slow
+
 
 def _make_batch(idx):
     if idx >= 10:
