@@ -25,13 +25,16 @@ Bias is (H, Lq, Lk) fp32 shared across the batch (all OFA biases are
 batch-independent); optional key padding mask (B, Lk).  fp32 accumulation on
 the MXU, output in the input dtype.
 
-No operand is ever padded: the q-block size adapts to Lq (zero or near-zero
-remainder), K/V/bias blocks span the full key length, and the last q block is
-handled by Pallas's masked block semantics (out-of-bounds rows read garbage
-and are dropped on write; the backward kernels zero those rows before any
-cross-row reduction).  This matters: padding Lq 1056 -> 1280 (the old
-fixed-256 block) wasted 21% of the attention FLOPs and re-materialized padded
-copies of q/k/v/bias in HBM every call.
+The q-block size adapts to Lq (zero or near-zero remainder) and K/V/bias
+blocks span the full key length.  A ragged last q block is handled
+differently per direction: the forward relies on Pallas's masked block
+semantics (out-of-bounds rows read garbage and are dropped on write — rows
+are independent there), while the backward zero-pads q/do/bias to an exact
+block multiple in the wrapper (see _flash_backward) because its cross-row
+reductions would otherwise need per-program row masking, which measurably
+knocks Mosaic off its fast path.  Either way the block search matters:
+padding Lq 1056 -> 1280 (the old fixed-256 block) wasted 21% of the
+attention FLOPs; adaptive blocks pad 1025 -> 1032 (0.7%).
 """
 
 import functools
@@ -66,9 +69,9 @@ def _heads_per_block(h: int, d: int) -> int:
     return h
 
 
-def _pick_bq(lq: int, lk: int, hb: int = 1, bufs: Optional[int] = None) -> int:
-    """Largest q-block <= 512 that (a) minimizes the non-divisible remainder
-    and (b) keeps the program's VMEM footprint under budget.
+def _pick_bq(lq: int, lk: int, hb: int = 1, bufs: Optional[int] = None,
+             prefer_large: bool = False) -> int:
+    """q-block size <= 512 whose program VMEM footprint stays under budget.
 
     The dominant VMEM terms scale with bq * lk: ``bufs`` counts the fp32
     (bq, lk)-sized buffers live per program.  Forward: one logits temporary
@@ -76,13 +79,23 @@ def _pick_bq(lq: int, lk: int, hb: int = 1, bufs: Optional[int] = None) -> int:
     kernels carry double-buffered bias in AND dbias out plus ~3 live
     recompute temporaries per head group = 7*hb (measured: the forward model
     applied to the dq/dbias kernel at Lq=1025, Lk=1056, hb=2 picked bq=344
-    -> 17.9 MB scoped vmem, over the chip's 16 MB).  Then scan block counts
-    for the best fit (fwd lq=1056 -> bq=352 exact; lq=1025 -> bq=344,
-    7 masked rows)."""
+    -> 17.9 MB scoped vmem, over the chip's 16 MB).
+
+    Two selection modes, per how the caller handles a ragged last block:
+      - waste-minimizing (forward): scan block counts for the best fit
+        (lq=1056 -> bq=352 exact; lq=1025 -> bq=344, 7 masked rows).  The
+        forward drops out-of-bounds rows on write, so waste = dead FLOPs.
+      - prefer_large (backward): just the largest 8-multiple under the cap.
+        The backward wrapper zero-pads q to nb*bq, so waste costs only the
+        pad rows' FLOPs (~3%) — while waste-minimizing at lq=1025 picked
+        bq=24 (43 programs!), measured 19.4 ms per dq+dkv pair vs 4.8 ms
+        at bq=176 on v5e."""
     if bufs is None:
         bufs = 2 * hb + 1
     cap = max(_VMEM_BUDGET // (lk * 4 * bufs), 128)
     cap = min(512, cap)
+    if prefer_large:
+        return min(cap // 8 * 8, -(-lq // 8) * 8)
     best = None
     for nb in range(max(1, -(-lq // cap)), -(-lq // 8) + 1):
         bq = -(-(-(-lq // nb)) // 8) * 8
@@ -272,23 +285,27 @@ def _interpret_mode() -> bool:
 
 def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
     """Shared logits -> probabilities recompute for the backward kernels.
-    Rows past Lq (the masked tail of the last q block) are zeroed so they
-    cannot contribute to the dbias/dk/dv reductions."""
+
+    The wrapper (_flash_backward) pads q/do/bias to an exact block multiple
+    before launching, so there is NO in-kernel tail handling: measured on
+    v5e, per-program row-masking for a ragged Lq (the 1025-token decoder)
+    knocked Mosaic off its fast path and made these kernels 3-5x slower
+    than the aligned encoder case (14.8/24 ms vs 4.8 ms per dq+dkv pair).
+    Padded q rows are all-zero: logits = bias (finite), p = softmax(row) is
+    finite, and the zero ``do`` rows kill every padded contribution to
+    dk/dv/dbias exactly."""
     logits = jax.lax.dot_general(
         q_blk, k_all, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     logits += bias_blk.astype(jnp.float32)
     if mask_ref:  # fp32 additive (1, Lk) row (see _attn_kernel)
         logits += mask_ref[0][0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
     if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
         cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(cols > rows + (lk - lq), NEG_INF, logits)
     e, s = _softmax_rows(logits)
-    p = e / s
-    if lq % bq != 0:
-        p = jnp.where(rows < lq, p, 0.0)
-    return p  # fp32 (bq, Lk)
+    return e / s  # fp32 (bq, Lk)
 
 
 def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
@@ -321,7 +338,7 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
             preferred_element_type=jnp.float32,
         )
         di = jnp.sum(do * o, axis=-1, keepdims=True)
-        dlogits = p * (dp - di)  # fp32; zero rows past Lq (p is zeroed)
+        dlogits = p * (dp - di)  # fp32; exact zeros on padded rows (do = 0)
         dq = jax.lax.dot_general(
             dlogits.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -351,12 +368,6 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
         q, k, v = qs[g], ks[g], vs[g]
         p = _recompute_p(q, k, bias_ref[g], mask_ref, causal, i, bq, lq, lk)
         do = dos[g].astype(jnp.float32)
-        if lq % bq != 0:
-            # garbage rows of the last q block may read NaN/Inf; zeroing p
-            # alone is not enough (0 * NaN = NaN inside the cross-row matmul
-            # sums), so the cotangent rows must be zeroed too
-            rows = jax.lax.broadcasted_iota(jnp.int32, do.shape, 0) + i * bq
-            do = jnp.where(rows < lq, do, 0.0)
         dp = jax.lax.dot_general(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -367,9 +378,6 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
         )
         di = jnp.sum(do * o, axis=-1, keepdims=True)
         dlogits = p * (dp - di)
-        if lq % bq != 0:
-            rows_l = jax.lax.broadcasted_iota(jnp.int32, dlogits.shape, 0) + i * bq
-            dlogits = jnp.where(rows_l < lq, dlogits, 0.0)
         dv_c = jax.lax.dot_general(  # (Lk, D) = p^T @ do
             p.astype(g_dtype), do.astype(g_dtype),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -406,12 +414,26 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
     probabilities — no (B, H, Lq, Lk) tensor ever reaches HBM (the XLA
     autodiff fallback materializes it in fp32, the dominant training cost)."""
     b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
-    bq = _pick_bq(lq, lk, hb, bufs=7 * hb)
+    bq = _pick_bq(lq, lk, hb, bufs=7 * hb, prefer_large=True)
     nb = pl.cdiv(lq, bq)
 
     had_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((h, lq, lk), jnp.float32)
+
+    # Pad the q-axis to an exact block multiple: ragged tails are handled by
+    # zero rows, never by in-kernel masking (see _recompute_p docstring).
+    # Pad cost is ~150 MB of HBM copies (q/do/bias in, dq/dbias slices out)
+    # at OFA-Base shapes -- ~0.4 ms against the ~10 ms/kernel the in-kernel
+    # tail path cost.  The causal offset keeps the ORIGINAL lq.
+    lq_p = nb * bq
+    pad_q = lq_p - lq
+    if pad_q:
+        qpad = [(0, 0)] * q.ndim
+        qpad[2 if not packed else 1] = (0, pad_q)
+        q = jnp.pad(q, qpad)
+        g = jnp.pad(g, qpad)
+        bias = jnp.pad(bias, [(0, 0), (0, pad_q), (0, 0)])
 
     base_inputs = [q, k, v, bias, g]
     mask_input = []
@@ -420,7 +442,7 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
 
     qspec = lambda perm4, perm3: _qspec(bq, d, hb, packed, perm4, perm3)
     kspec = lambda perm4, perm3: _qspec(lk, d, hb, packed, perm4, perm3)
-    q_shape = (b, lq, h * d) if packed else (b, h, lq, d)
+    q_shape = (b, lq_p, h * d) if packed else (b, h, lq_p, d)
     k_shape = (b, lk, h * d) if packed else (b, h, lk, d)
     kw = dict(causal=causal, lq=lq, lk=lk, bq=bq, nb=nb, packed=packed,
               hb=hb, d=d)
@@ -445,10 +467,13 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q_shape, q.dtype),
-            jax.ShapeDtypeStruct((h, lq, lk), jnp.float32),
+            jax.ShapeDtypeStruct((h, lq_p, lk), jnp.float32),
         ],
         interpret=_interpret_mode(),
     )(*base_inputs, *mask_input)
+    if pad_q:
+        dq = dq[:, :lq] if packed else dq[:, :, :lq]
+        dbias = dbias[:, :lq]
 
     # kernel B: dk/dv accumulate over innermost q-block index
     grid_b = (h // hb, b, nb)

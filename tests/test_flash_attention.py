@@ -84,6 +84,47 @@ def test_gradients_with_mask_and_causal(causal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_ragged_lq(causal):
+    """Lq=85 is not a multiple of any legal q-block: the Pallas backward
+    zero-pads q/do/bias to the block multiple (88) in its wrapper and slices
+    dq/dbias back.  Covers the padded-tail path the 1025-token decoder
+    surrogate hits at 512px (see _flash_backward)."""
+    b, h, lq, lk, d = 2, 2, 85, 100, 16
+    q, k, v = _rand((b, h, lq, d), 0), _rand((b, h, lk, d), 1), _rand((b, h, lk, d), 2)
+    bias = _rand((h, lq, lk), 3)
+    mask = np.zeros((b, lk), bool)
+    mask[0, lk - 9 :] = True
+    mask = jnp.asarray(mask)
+    assert fa._pick_bq(lq, lk, 1, bufs=7, prefer_large=True) != lq  # exercises padding
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(fa.flash_attention_bias(q, k, v, bias, mask, causal) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(fa._attention_xla(q, k, v, bias, mask, causal) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4)
+
+    to3 = lambda t, ln: t.transpose(0, 2, 1, 3).reshape(b, ln, h * d)
+
+    def loss_packed(q3, k3, v3, bias):
+        return jnp.sum(
+            fa.flash_attention_bias_packed(q3, k3, v3, bias, mask, causal, h) ** 2
+        )
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(
+        to3(q, lq), to3(k, lk), to3(v, lk), bias
+    )
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(to3(gx[0], lq)), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(to3(gx[1], lk)), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(to3(gx[2], lk)), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp[3]), np.asarray(gx[3]), atol=2e-4, rtol=2e-4)
+
+
 def test_pallas_backward_impl_matches_xla():
     old = fa.BACKWARD_IMPL
     try:

@@ -57,7 +57,7 @@ def main():
         import runpy
 
         src = open("tools/profile_train_step.py").read().split("iters = 10")[0]
-        g = {}
+        g = {"__file__": os.path.abspath("tools/profile_train_step.py")}
         exec(src, g)
         with jax.profiler.trace(args.out):
             for _ in range(3):
