@@ -235,7 +235,7 @@ class Decoder(nn.Module):
         src_pos = encoder_out["position_embeddings"]  # (L_enc, D), post pos-LN
         cross_bias = self._bias(
             tgt_pos_ln, src_pos, self.cross_pos_q_linear, self.cross_pos_k_linear
-        )
+        ).astype(cfg_dtype(cfg))
 
         seg_bucket = make_image_bucket_position(sb, (2 * sb - 1) * (2 * sb - 1) + 3)
 
@@ -258,7 +258,7 @@ class Decoder(nn.Module):
                 seg_b = interp_seg_bias_with_bos(seg_b, (sb, sb), (h, w))
             else:
                 seg_b = interp_seg_bias_with_bos_mats(seg_b, ah, aw, (sb, sb))
-            return self_bias0 + seg_b
+            return (self_bias0 + seg_b).astype(cfg_dtype(cfg))
 
         pp = getattr(self.plan, "pipeline_parallel", 1) if self.plan else 1
         if pp > 1 and not self.is_initializing():
@@ -288,7 +288,7 @@ class Decoder(nn.Module):
                     else interp_seg_bias_with_bos_mats(seg_all[i], ah, aw, (sb, sb))
                     for i in range(nl)
                 ])
-            pack = self_bias0[None] + seg_interp_all
+            pack = (self_bias0[None] + seg_interp_all).astype(cfg_dtype(cfg))
             for i, layer in enumerate(self.layers):
                 y = layer(
                     x, enc, enc_pad, pack[i], cross_bias,
@@ -417,8 +417,11 @@ class Decoder(nn.Module):
         self_biases = []
         for i in range(len(self.layers)):
             seg_b = interp_seg_bias_with_bos(seg_all[i], (sb, sb), (h, w))
-            self_biases.append(self_bias0 + seg_b)
-        return {"self_biases": jnp.stack(self_biases), "cross_bias": cross_bias}
+            self_biases.append((self_bias0 + seg_b).astype(cfg_dtype(cfg)))
+        return {
+            "self_biases": jnp.stack(self_biases),
+            "cross_bias": cross_bias.astype(cfg_dtype(cfg)),
+        }
 
     def decode_served(
         self, bos_tokens, encoder_out, pre, full_context_alignment=False,
@@ -490,7 +493,7 @@ class Decoder(nn.Module):
         src_pos = encoder_out["position_embeddings"]
         cross_bias = self._bias(
             tgt_pos, src_pos, self.cross_pos_q_linear, self.cross_pos_k_linear
-        )
+        ).astype(cfg_dtype(cfg))
         from .position import make_token_bucket_position
 
         token_bucket = make_token_bucket_position(cfg.token_bucket_size)[:l, :l]
@@ -501,7 +504,9 @@ class Decoder(nn.Module):
         prompt_all = self._prompt_kv_all(deterministic)
         for i, layer in enumerate(self.layers):
             x = layer(
-                x, enc, enc_pad, self_bias0 + tok_all[i], cross_bias,
+                x, enc, enc_pad,
+                (self_bias0 + tok_all[i]).astype(cfg_dtype(cfg)),
+                cross_bias,
                 None, True, deterministic,
                 prompt_all[i] if prompt_all is not None else None,
             )

@@ -285,7 +285,7 @@ class Encoder(nn.Module):
             def bias_fn(i):
                 b_ = bias0
                 b_ = b_.at[:, l_total - src_len :, l_total - src_len :].add(tok_all[i])
-                return b_.at[:, :hw, :hw].add(img_bias_fn(i))
+                return b_.at[:, :hw, :hw].add(img_bias_fn(i)).astype(cfg_dtype(cfg))
 
             x = self._run_layers_pp(
                 x, padding_mask, bias_fn, prompt_all, deterministic
@@ -299,13 +299,18 @@ class Encoder(nn.Module):
             nl = len(self.layers)
             if img_all_interp is None:
                 img_all_interp = jnp.stack([img_bias_fn(i) for i in range(nl)])
+            # pack dtype = compute dtype: bf16 under bf16 training halves the
+            # dominant bias HBM traffic (build + per-layer kernel reads +
+            # dbias) and matches the reference's fp16 bias precision; the add
+            # happens fp32 so the astype backward upcasts the cotangent
+            # before the gather scatter-add into the tables
             pack = (
                 bias0[None]
                 + jnp.pad(tok_all, ((0, 0), (0, 0), (hw, 0), (hw, 0)))
                 + jnp.pad(
                     img_all_interp, ((0, 0), (0, 0), (0, src_len), (0, src_len))
                 )
-            )
+            ).astype(cfg_dtype(cfg))
             for i, layer in enumerate(self.layers):
                 y = layer(
                     x, padding_mask, pack[i], deterministic,
@@ -451,7 +456,7 @@ class Encoder(nn.Module):
             bias = bias0
             bias = bias.at[:, l_total - t :, l_total - t :].add(tok_all[i])
             bias = bias.at[:, :hw, :hw].add(img_b)
-            biases.append(bias)
+            biases.append(bias.astype(cfg_dtype(cfg)))
         return {"pos_all": pos_all, "biases": jnp.stack(biases)}
 
     def encode_served(self, src_tokens, patch_images, pre, deterministic=True):

@@ -21,9 +21,11 @@ Two operand layouts:
   - legacy: q (B, H, Lq, D), k/v (B, H, Lk, D) — kept for the ring-attention
     CP path and existing tests.
 
-Bias is (H, Lq, Lk) fp32 shared across the batch (all OFA biases are
-batch-independent); optional key padding mask (B, Lk).  fp32 accumulation on
-the MXU, output in the input dtype.
+Bias is (H, Lq, Lk) fp32 or bf16 shared across the batch (all OFA biases are
+batch-independent; the bf16 train-path pack halves the dominant bias HBM
+traffic and matches the reference's fp16 bias precision); optional key
+padding mask (B, Lk).  Logits/softmax always accumulate fp32 on the MXU,
+dbias accumulates over batch in fp32 scratch, output in the input dtype.
 
 The q-block size adapts to Lq (zero or near-zero remainder) and K/V/bias
 blocks span the full key length.  A ragged last q block is handled
@@ -310,8 +312,8 @@ def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
 
 def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
                          causal, lq, lk, bq, nb, packed, hb, d):
-    mask_ref = rest[:-2]
-    dq_ref, dbias_ref = rest[-2], rest[-1]
+    mask_ref = rest[:-3]
+    dq_ref, dbias_ref, dbias_acc = rest[-3], rest[-2], rest[-1]
     i = pl.program_id(1)
     b_idx = pl.program_id(2)
     qs = _head_views(q_ref, packed, hb, d)
@@ -319,10 +321,12 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
     vs = _head_views(v_ref, packed, hb, d)
     dos = _head_views(do_ref, packed, hb, d)
 
-    # dbias accumulates over the (innermost) batch dimension
+    # dbias accumulates over the (innermost) batch dimension in an fp32
+    # scratch (the bias — and therefore its cotangent — may be bf16; a bf16
+    # output ref would accumulate the batch sum at 8 mantissa bits)
     @pl.when(b_idx == 0)
     def _():
-        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+        dbias_acc[...] = jnp.zeros(dbias_acc.shape, dbias_acc.dtype)
 
     dqs = []
     for g in range(len(qs)):
@@ -344,12 +348,16 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
             preferred_element_type=jnp.float32,
         )
         dqs.append(dq.astype(dq_ref.dtype))
-        dbias_ref[g] += dlogits
+        dbias_acc[g] += dlogits
     dq = dqs[0] if len(dqs) == 1 else jnp.concatenate(dqs, axis=-1)
     if packed:
         dq_ref[0] = dq
     else:
         dq_ref[0, 0] = dq
+
+    @pl.when(b_idx == pl.num_programs(2) - 1)
+    def _():
+        dbias_ref[...] = dbias_acc[...].astype(dbias_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
@@ -414,7 +422,9 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
     probabilities — no (B, H, Lq, Lk) tensor ever reaches HBM (the XLA
     autodiff fallback materializes it in fp32, the dominant training cost)."""
     b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
-    bq = _pick_bq(lq, lk, hb, bufs=7 * hb, prefer_large=True)
+    # 8*hb: the 7*hb backward estimate (see _pick_bq) + the fp32 dbias
+    # accumulation scratch of kernel A
+    bq = _pick_bq(lq, lk, hb, bufs=8 * hb, prefer_large=True)
     nb = pl.cdiv(lq, bq)
 
     had_bias = bias is not None
@@ -467,8 +477,9 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q_shape, q.dtype),
-            jax.ShapeDtypeStruct((h, lq_p, lk), jnp.float32),
+            jax.ShapeDtypeStruct((h, lq_p, lk), bias.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((hb, bq, lk), jnp.float32)],
         interpret=_interpret_mode(),
     )(*base_inputs, *mask_input)
     if pad_q:

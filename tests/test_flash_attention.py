@@ -210,3 +210,49 @@ def test_packed_xla_backward_fallback():
             )
     finally:
         fa.BACKWARD_IMPL = old
+
+
+def test_bf16_bias_grads():
+    """bf16 bias (the train-path pack dtype under bf16 compute): dbias comes
+    back bf16 but must be accumulated over batch in fp32 scratch.  Each
+    Pallas gradient is checked against a full-fp32 dense reference with a
+    *scale-relative* bound: bf16 operand rounding alone costs ~1% of the
+    gradient's magnitude (the XLA-fallback backward on the same bf16
+    operands sits at ~0.5%), while a bf16 batch accumulation of dbias
+    (B=16 summands at 8 mantissa bits) would blow well past the bound."""
+    old = fa.BACKWARD_IMPL
+    try:
+        b, h, lq, lk, d = 16, 2, 64, 80, 16
+        q = _rand((b, h, lq, d), 0).astype(jnp.bfloat16)
+        k = _rand((b, h, lk, d), 1).astype(jnp.bfloat16)
+        v = _rand((b, h, lk, d), 2).astype(jnp.bfloat16)
+        bias = _rand((h, lq, lk), 3).astype(jnp.bfloat16)
+
+        out = fa.flash_attention_bias(q, k, v, bias, None, False)
+        assert out.dtype == jnp.bfloat16
+
+        def loss(q, k, v, bias):
+            return jnp.sum(
+                fa.flash_attention_bias(q, k, v, bias, None, False).astype(
+                    jnp.float32
+                )
+                ** 2
+            )
+
+        fa.BACKWARD_IMPL = "pallas"
+        gp = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        assert gp[3].dtype == jnp.bfloat16
+
+        def loss32(q, k, v, bias):
+            return jnp.sum(fa._attention_xla(q, k, v, bias, None, False) ** 2)
+
+        gr = jax.grad(loss32, argnums=(0, 1, 2, 3))(
+            *(x.astype(jnp.float32) for x in (q, k, v, bias))
+        )
+        for name, a, r in zip(("dq", "dk", "dv", "dbias"), gp, gr):
+            a = np.asarray(a, np.float32)
+            r = np.asarray(r, np.float32)
+            rel = np.abs(a - r).max() / np.abs(r).max()
+            assert rel < 2.5e-2, f"{name}: rel err {rel:.4f} vs fp32 reference"
+    finally:
+        fa.BACKWARD_IMPL = old
