@@ -204,6 +204,39 @@ class Encoder(nn.Module):
         ids = image_grid_position_ids(h, w, cfg.image_bucket_size)
         return self.embed_image_positions(jnp.asarray(ids))
 
+    def _stem(self, patch_images, valid_hw=None):
+        """ResNet stem with its output pinned to batch-only sharding.
+
+        Under a ParallelPlan, shard_map boundaries downstream (ring
+        attention's L-sharded specs) propagate a 'model'-axis sharding
+        backward through image_proj's reshape onto the stem's SPATIAL dims.
+        Besides being a layout nobody wants (the stem is data-parallel by
+        design), XLA's SPMD partitioner miscompiles the halo exchange of a
+        3x3 SAME conv when the per-device spatial shard is smaller than the
+        kernel radius (stage-3 feature maps are 2x2 at 32px: shard = 1 row;
+        reproduced on XLA:CPU: maxerr 47 vs dense on identical inputs).  The
+        anchor stops that propagation at the stem boundary."""
+        feats = self.embed_images(patch_images, valid_hw=valid_hw)
+        plan = self.plan
+        mesh = getattr(plan, "mesh", None) if plan is not None else None
+        if mesh is None or self.is_initializing():
+            return feats
+        baxes = tuple(
+            a for a in mesh.axis_names
+            if a != getattr(plan, "axis", "model") and mesh.shape[a] > 1
+        )
+        bdiv = 1
+        for a in baxes:
+            bdiv *= mesh.shape[a]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = (
+            P(baxes, None, None, None)
+            if baxes and feats.shape[0] % bdiv == 0
+            else P(None, None, None, None)
+        )
+        return jax.lax.with_sharding_constraint(feats, NamedSharding(mesh, spec))
+
     def _text_embed(self, src_tokens, deterministic):
         """Token path: embed + type(0) + LN + dropout (encoder_module.py:573-586)."""
         cfg = self.cfg
@@ -462,7 +495,7 @@ class Encoder(nn.Module):
     def encode_served(self, src_tokens, patch_images, pre, deterministic=True):
         """encode() with precomputed biases (inference fast path)."""
         cfg = self.cfg
-        feats = self.embed_images(patch_images.astype(cfg_dtype(cfg)))
+        feats = self._stem(patch_images.astype(cfg_dtype(cfg)))
         b, h, w, _ = feats.shape
         hw = h * w
         resnet_feats = feats.reshape(b, hw, -1)
@@ -498,7 +531,7 @@ class Encoder(nn.Module):
     ) -> Dict[str, Any]:
         """Real-image forward (encoder_module.py:677-851)."""
         cfg = self.cfg
-        feats = self.embed_images(patch_images.astype(cfg_dtype(cfg)))  # (B,h,w,1024)
+        feats = self._stem(patch_images.astype(cfg_dtype(cfg)))  # (B,h,w,1024)
         b, h, w, _ = feats.shape
         hw = h * w
         resnet_feats = feats.reshape(b, hw, -1)
@@ -559,7 +592,7 @@ class Encoder(nn.Module):
         attention-masked.  Valid-token outputs bit-match the unpadded forward.
         """
         cfg = self.cfg
-        feats = self.embed_images(
+        feats = self._stem(
             patch_images.astype(cfg_dtype(cfg)), valid_hw=(img_h, img_w)
         )
         b, Hp, Wp, _ = feats.shape

@@ -13,10 +13,11 @@ tolerance.
 
 Collective discipline (one dispatch per ring step): K and V travel as a
 single stacked (2, B, H, Lc, D) buffer through ONE ``ppermute``; the key
-padding mask does not rotate at all — it is tiny and batch-wide, so it enters
-the shard_map replicated and each step slices the resident chunk's columns,
-exactly like the bias.  Concurrent independent collectives are what starve
-XLA:CPU's rendezvous on core-limited hosts and are wasted dispatches on ICI.
+padding mask does not rotate at all — each step slices the resident chunk's
+columns locally, exactly like the bias.  Concurrent independent collectives
+are what starve XLA:CPU's rendezvous on core-limited hosts and are wasted
+dispatches on ICI.  Batch stays sharded over the non-ring mesh axes so the
+shard_map boundary never forces a replicate-repartition round trip.
 
 Ragged lengths: sequences that do not divide the axis size are zero-padded to
 ``n·⌈L/n⌉`` here (mask rows added, padded key columns masked, outputs sliced
@@ -50,6 +51,21 @@ def ring_attention(
     causal attention exactly."""
     n = mesh.shape[axis]
     b, h, l, d = q.shape
+    # batch stays sharded over the non-ring mesh axes: the surrounding jit
+    # keeps activations batch-sharded over data×fsdp, and entering the
+    # shard_map replicated (the old P(None, ...) specs) forced a
+    # replicate-then-repartition round trip per boundary — the "[SPMD]
+    # Involuntary full rematerialization" storm on every q/k/v projection's
+    # backward.  Axes that don't divide the batch fall back to replicated.
+    batch_axes = tuple(
+        a for a in mesh.axis_names if a != axis and mesh.shape[a] > 1
+    )
+    bdiv = 1
+    for a in batch_axes:
+        bdiv *= mesh.shape[a]
+    if b % bdiv != 0:
+        batch_axes = ()
+    bspec = batch_axes if batch_axes else None
 
     lp = -(-l // n) * n  # padded length divisible by the ring size
     if lp != l:
@@ -72,13 +88,14 @@ def ring_attention(
         # q_l: (B, H, Lq_loc, D); kv_l: (2, B, H, Lc, D) local K/V chunk
         # bias_l: (H, Lq_loc, L_total) or None; mask_full: (B, L_total) or None
         idx = jax.lax.axis_index(axis)
+        bl = q_l.shape[0]  # local batch (sharded over batch_axes)
         lq = q_l.shape[2]
         lc = kv_l.shape[3]
         qf = q_l.astype(jnp.float32)
 
-        o0 = jnp.zeros((b, h, lq, d), jnp.float32)
-        m0 = jnp.full((b, h, lq, 1), -jnp.inf, jnp.float32)
-        s0 = jnp.zeros((b, h, lq, 1), jnp.float32)
+        o0 = jnp.zeros((bl, h, lq, d), jnp.float32)
+        m0 = jnp.full((bl, h, lq, 1), -jnp.inf, jnp.float32)
+        s0 = jnp.zeros((bl, h, lq, 1), jnp.float32)
         perm = [(i, (i + 1) % n) for i in range(n)]
 
         def step(carry, t):
@@ -113,19 +130,20 @@ def ring_attention(
             kv = jax.lax.ppermute(kv, axis, perm)
             return (o, m_new, s, kv), None
 
+        vary = (axis,) + batch_axes
         init = (
-            jax.lax.pvary(o0, (axis,)),
-            jax.lax.pvary(m0, (axis,)),
-            jax.lax.pvary(s0, (axis,)),
+            jax.lax.pvary(o0, vary),
+            jax.lax.pvary(m0, vary),
+            jax.lax.pvary(s0, vary),
             kv_l,
         )
         (o, m, s, _), _ = jax.lax.scan(step, init, jnp.arange(n))
         return (o / jnp.maximum(s, 1e-30)).astype(q_l.dtype)
 
     bias_spec = P(None, axis, None) if bias is not None else P()
-    # the mask is (B, L) bool — small enough to replicate, which removes a
-    # per-step rotation entirely
-    mask_spec = P()
+    # the mask is (B, L) bool — batch-sharded like q, and it never rotates:
+    # each ring step slices the resident chunk's columns locally
+    mask_spec = P(bspec, None) if key_padding_mask is not None else P()
 
     def wrapper(q_, kv_, b_, m_):
         return local_fn(
@@ -139,12 +157,12 @@ def ring_attention(
         wrapper,
         mesh=mesh,
         in_specs=(
-            P(None, None, axis, None),
-            P(None, None, None, axis, None),
+            P(bspec, None, axis, None),
+            P(None, bspec, None, axis, None),
             bias_spec,
             mask_spec,
         ),
-        out_specs=P(None, None, axis, None),
+        out_specs=P(bspec, None, axis, None),
     )(
         q, kv,
         bias if bias is not None else jnp.zeros((1,), jnp.float32),
