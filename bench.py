@@ -121,12 +121,18 @@ def main_train():
 
     logs = trainer.train_step(batch)  # compile
     float(np.asarray(logs["loss"]))
+    # steps chain through the donated state, so N enqueued steps are truly
+    # serialized on device and (wall / N) is honest throughput; take the
+    # best of three rounds because the first round after compile absorbs
+    # one-off dispatch/tunnel warmup (observed 0.64 vs 0.41 s/step)
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        logs = trainer.train_step(batch)
-    float(np.asarray(logs["loss"]))
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            logs = trainer.train_step(batch)
+        float(np.asarray(logs["loss"]))
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     # MFU: ~273 GFLOP forward per 512px image (ResNet-101 stem + 6+6 layer
     # OFA-Base over 1024+T tokens), x3 for fwd+bwd, + the no-grad monitoring

@@ -283,9 +283,6 @@ def _upsampled_areas_dyn(grid, target, valid, num_classes, uh, uw, chunks):
     b, Hp, Wp, c = grid.shape
     Ho = uh.shape[0]
     rows = Ho // chunks
-    tmp = jnp.einsum(
-        "Wj,bhjc->bhWc", uw, grid, preferred_element_type=jnp.float32
-    )
     uh_chunks = uh.reshape(chunks, rows, Hp)
 
     zeros = lambda: jnp.zeros((num_classes,), jnp.float32)
@@ -297,8 +294,13 @@ def _upsampled_areas_dyn(grid, target, valid, num_classes, uh, uw, chunks):
     def body(carry, xs):
         i, uh_c = xs
         areas, (ce_sum, ce_cnt) = carry
+        # rows-first from the small grid (see criterion._row_chunk_scan): a
+        # hoisted width-upsampled intermediate would be re-read per chunk
+        t_ = jnp.einsum(
+            "rk,bkjc->brjc", uh_c, grid, preferred_element_type=jnp.float32
+        )
         chunk = jnp.einsum(
-            "rk,bkWc->brWc", uh_c, tmp, preferred_element_type=jnp.float32
+            "Wj,brjc->brWc", uw, t_, preferred_element_type=jnp.float32
         )
         tgt = jax.lax.dynamic_slice_in_dim(target, i * rows, rows, axis=1)
         vld = jax.lax.dynamic_slice_in_dim(valid, i * rows, rows, axis=1)

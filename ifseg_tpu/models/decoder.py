@@ -24,6 +24,7 @@ from ifseg_tpu.ops.resize import bilinear_matrix_dyn, resize_bilinear
 from .encoder import _flash_enabled, _layerdrop, _moe_layer, _remat_policy, cfg_dtype
 from .layers import DecoderLayer
 from .position import (
+    gather_grid_bias_all_layers,
     gather_rel_bias,
     gather_rel_bias_all_layers,
     image_num_rel_dis,
@@ -249,7 +250,11 @@ class Decoder(nn.Module):
             )
 
         enc_pad = encoder_out["encoder_padding_mask"]
-        seg_all = gather_rel_bias_all_layers(self.seg_rel_pos_table, seg_bucket)
+        # structure-aware backward: the (1+sb²)² seg-bias gather's scatter-add
+        # transpose was ~20 ms/step of sort-based reduction at 512px
+        seg_all = gather_grid_bias_all_layers(
+            self.seg_rel_pos_table, seg_bucket, (sb, sb), bos=True
+        )
         prompt_all = self._prompt_kv_all(deterministic)
 
         def self_bias_fn(i):
@@ -413,7 +418,11 @@ class Decoder(nn.Module):
             tgt_pos_ln, enc_pos_all, self.cross_pos_q_linear, self.cross_pos_k_linear
         )
         seg_bucket = make_image_bucket_position(sb, (2 * sb - 1) * (2 * sb - 1) + 3)
-        seg_all = gather_rel_bias_all_layers(self.seg_rel_pos_table, seg_bucket)
+        # structure-aware backward: the (1+sb²)² seg-bias gather's scatter-add
+        # transpose was ~20 ms/step of sort-based reduction at 512px
+        seg_all = gather_grid_bias_all_layers(
+            self.seg_rel_pos_table, seg_bucket, (sb, sb), bos=True
+        )
         self_biases = []
         for i in range(len(self.layers)):
             seg_b = interp_seg_bias_with_bos(seg_all[i], (sb, sb), (h, w))

@@ -28,6 +28,7 @@ from ifseg_tpu.config import ModelConfig
 from ifseg_tpu.ops.resize import bilinear_matrix_dyn, resize_bilinear
 from .layers import EncoderLayer
 from .position import (
+    gather_grid_bias_all_layers,
     gather_rel_bias,
     gather_rel_bias_all_layers,
     image_grid_position_ids,
@@ -294,9 +295,11 @@ class Encoder(nn.Module):
             image_bucket = image_rp_bucket_for_grid(
                 *rel_bias_grid_hw, cfg.image_bucket_size
             )
-            # one fused gather for every layer (gather_rel_bias_all_layers)
-            img_all = gather_rel_bias_all_layers(
-                self.image_rel_pos_table, image_bucket
+            # one fused gather for every layer, with the structure-aware
+            # backward (delta-class contraction instead of sort-based
+            # scatter-add; see position.gather_grid_bias_all_layers)
+            img_all = gather_grid_bias_all_layers(
+                self.image_rel_pos_table, image_bucket, rel_bias_grid_hw
             )
             if tuple(rel_bias_grid_hw) == tuple(image_hw):
                 img_all_interp = img_all  # identity interp (512px train/infer)

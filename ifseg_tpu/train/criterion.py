@@ -78,25 +78,30 @@ def _row_chunk_scan(grid, out_hw, row_chunks: int, body):
     assert H % row_chunks == 0, (H, row_chunks)
     rows = H // row_chunks
     ah_chunks = ah.reshape(row_chunks, rows, h)
+    grid = grid.astype(jnp.float32)
 
-    tmp = jnp.einsum(
-        "Wj,bhjc->bhWc", aw, grid.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )  # (B, h, W, C)
-
+    # rows-first per chunk: each chunk upsamples straight from the tiny
+    # (B, h, w, C) grid — first the chunk's output rows (B, rows, w, C),
+    # then the full width.  An earlier width-first layout hoisted a shared
+    # (B, h, W, C) intermediate out of the scan (~630 MB fp32 at the
+    # reference config); every chunk and every backward recompute re-read it
+    # from HBM, ~40 ms/step of pure bandwidth for the same FLOPs.
     # remat: without it the scan's backward saves every chunk's (B, rows, W,
     # C) logits (~2.5GB at reference scale); recomputing each chunk from the
-    # shared `tmp` keeps backward memory O(one chunk)
+    # small grid keeps backward memory O(one chunk)
     @jax.checkpoint
-    def chunk_step(carry, tmp, ah_c, i):
+    def chunk_step(carry, ah_c, i):
+        t = jnp.einsum(
+            "rk,bkjc->brjc", ah_c, grid, preferred_element_type=jnp.float32
+        )  # (B, rows, w, C)
         chunk = jnp.einsum(
-            "rk,bkWc->brWc", ah_c, tmp, preferred_element_type=jnp.float32
+            "Wj,brjc->brWc", aw, t, preferred_element_type=jnp.float32
         )  # (B, rows, W, C)
         return body(carry, chunk, i, rows)
 
     def scan_body(carry, xs):
         i, ah_c = xs
-        return chunk_step(carry, tmp, ah_c, i), None
+        return chunk_step(carry, ah_c, i), None
 
     init = body(None, None, None, rows)
     carry, _ = jax.lax.scan(

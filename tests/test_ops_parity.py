@@ -127,3 +127,49 @@ def test_class_mean_embeddings_matches_embeddingbag():
         padded[i, :ln] = tokens_flat[off : off + ln]
     got = class_mean_embeddings(jnp.asarray(table), jnp.asarray(padded), jnp.asarray(lengths))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_gather_backward_matches_plain():
+    """gather_grid_bias_all_layers: the structure-aware backward (delta-class
+    contraction, position.py) must match the plain gather's autodiff
+    scatter-add exactly — image grid, BOS-prefixed seg grid, and a clipped
+    padded grid."""
+    import jax
+    from ifseg_tpu.models.position import (
+        gather_grid_bias_all_layers,
+        gather_rel_bias_all_layers,
+        image_num_rel_dis,
+        image_rel_bucket_direct,
+        image_rp_bucket_for_grid,
+        make_image_bucket_position,
+    )
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (image_rp_bucket_for_grid(4, 4, 8), (4, 4), False, image_num_rel_dis(8)),
+        (make_image_bucket_position(4, 7 * 7 + 3), (4, 4), True, 7 * 7 + 3),
+        # padded grid wider than the bucket: clipped deltas
+        (image_rel_bucket_direct(6, 5, 4), (6, 5), False, 7 * 7),
+    ]
+    for rp, hw, bos, num_rel in cases:
+        table = jnp.asarray(
+            rng.standard_normal((3, num_rel, 2)).astype(np.float32)
+        )
+        cot = jnp.asarray(
+            rng.standard_normal((3, 2) + rp.shape).astype(np.float32)
+        )
+
+        def loss_new(t):
+            return jnp.vdot(gather_grid_bias_all_layers(t, rp, hw, bos=bos), cot)
+
+        def loss_old(t):
+            return jnp.vdot(gather_rel_bias_all_layers(t, rp), cot)
+
+        fwd_new = gather_grid_bias_all_layers(table, rp, hw, bos=bos)
+        fwd_old = gather_rel_bias_all_layers(table, rp)
+        np.testing.assert_array_equal(np.asarray(fwd_new), np.asarray(fwd_old))
+        g_new = jax.grad(loss_new)(table)
+        g_old = jax.grad(loss_old)(table)
+        np.testing.assert_allclose(
+            np.asarray(g_new), np.asarray(g_old), rtol=1e-5, atol=1e-5
+        )
