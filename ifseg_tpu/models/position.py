@@ -171,7 +171,6 @@ def _build_grid_gather(rp: np.ndarray, h: int, w: int, bos: bool):
         if not (np.all(rp[0, off:] == b_row) and np.all(rp[off:, 0] == b_col)):
             return None
 
-    rp_j = np.ascontiguousarray(rp)
     eh = np.zeros((h, h, 2 * h - 1), np.float32)
     eh[np.arange(h)[:, None], np.arange(h)[None, :],
        np.arange(h)[:, None] - np.arange(h)[None, :] + h - 1] = 1.0
@@ -180,12 +179,53 @@ def _build_grid_gather(rp: np.ndarray, h: int, w: int, bos: bool):
        np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1] = 1.0
     bmaps = {}  # num_rel -> ((2h-1)(2w-1), num_rel) one-hot
 
+    def _expand(table):
+        """Forward by delta expansion: gather the tiny (F, 2h-1, 2w-1) delta
+        table, then expand to (F, L, L) with the one-hot matmuls.  Exact
+        (products with 1.0, sums over one nonzero term), and ~3x faster than
+        the (L, L, F) gather whose (F, L, L) relayout XLA lowers to a
+        72-iteration slice loop (~6 ms/step at 512px); the matmul output
+        also fuses into the downstream pack add."""
+        layers, num_rel, heads = table.shape
+        f = layers * heads
+        cat_t = jnp.transpose(table, (0, 2, 1)).reshape(f, num_rel)
+        cat_t = cat_t.astype(jnp.float32)
+        tm = jnp.take(cat_t, jnp.asarray(m.ravel()), axis=1).reshape(
+            f, 2 * h - 1, 2 * w - 1
+        )
+        t1 = jnp.einsum(
+            "fkm,cdm->fkcd", tm, jnp.asarray(ew),
+            preferred_element_type=jnp.float32,
+        )
+        grid = jnp.einsum(
+            "fkcd,rsk->frscd", t1, jnp.asarray(eh),
+            preferred_element_type=jnp.float32,
+        )  # (F, r1, r2, c1, c2)
+        grid = grid.transpose(0, 1, 3, 2, 4).reshape(f, h * w, h * w)
+        if bos:
+            top = jnp.concatenate(
+                [
+                    jnp.broadcast_to(cat_t[:, b_corner, None, None], (f, 1, 1)),
+                    jnp.broadcast_to(cat_t[:, b_row, None, None], (f, 1, h * w)),
+                ],
+                axis=2,
+            )
+            rest = jnp.concatenate(
+                [
+                    jnp.broadcast_to(cat_t[:, b_col, None, None], (f, h * w, 1)),
+                    grid,
+                ],
+                axis=2,
+            )
+            grid = jnp.concatenate([top, rest], axis=1)
+        return grid.reshape(layers, heads, l1, l1)
+
     @jax.custom_vjp
     def fn(table):
-        return gather_rel_bias_all_layers(table, rp_j)
+        return _expand(table)
 
     def fwd(table):
-        return gather_rel_bias_all_layers(table, rp_j), table.shape
+        return _expand(table), table.shape
 
     def bwd(shape, dv):
         layers, num_rel, heads = shape
