@@ -72,16 +72,19 @@ def _heads_per_block(h: int, d: int) -> int:
 
 
 def _pick_bq(lq: int, lk: int, hb: int = 1, bufs: Optional[int] = None,
-             prefer_large: bool = False) -> int:
+             prefer_large: bool = False,
+             bytes_per_cell: Optional[int] = None) -> int:
     """q-block size <= 512 whose program VMEM footprint stays under budget.
 
-    The dominant VMEM terms scale with bq * lk: ``bufs`` counts the fp32
-    (bq, lk)-sized buffers live per program.  Forward: one logits temporary
-    + two pipeline-buffered bias blocks of hb heads = 2*hb + 1.  Backward
-    kernels carry double-buffered bias in AND dbias out plus ~3 live
-    recompute temporaries per head group = 7*hb (measured: the forward model
-    applied to the dq/dbias kernel at Lq=1025, Lk=1056, hb=2 picked bq=344
-    -> 17.9 MB scoped vmem, over the chip's 16 MB).
+    The dominant VMEM terms scale with bq * lk: ``bytes_per_cell`` is the
+    number of live bytes per (bq, lk) cell in one program (``bufs`` is the
+    legacy fp32-buffer count, = bytes/4).  Forward: one fp32 logits
+    temporary + two pipeline-buffered bias blocks of hb heads.  Backward
+    dq/dbias kernel: ~4 fp32 recompute temporaries + double-buffered bias in
+    + dbias out (bias dtype!) + the fp32 batch-accumulation scratch.  A
+    byte-exact model matters: charging the now-bf16 bias at fp32 width
+    halved bq (152 vs 280 at Lq=Lk=1025), doubling the program count and
+    K/V re-reads per step.
 
     Two selection modes, per how the caller handles a ragged last block:
       - waste-minimizing (forward): scan block counts for the best fit
@@ -92,9 +95,9 @@ def _pick_bq(lq: int, lk: int, hb: int = 1, bufs: Optional[int] = None,
         pad rows' FLOPs (~3%) — while waste-minimizing at lq=1025 picked
         bq=24 (43 programs!), measured 19.4 ms per dq+dkv pair vs 4.8 ms
         at bq=176 on v5e."""
-    if bufs is None:
-        bufs = 2 * hb + 1
-    cap = max(_VMEM_BUDGET // (lk * 4 * bufs), 128)
+    if bytes_per_cell is None:
+        bytes_per_cell = 4 * (bufs if bufs is not None else 2 * hb + 1)
+    cap = max(_VMEM_BUDGET // (lk * bytes_per_cell), 128)
     cap = min(512, cap)
     if prefer_large:
         return min(cap // 8 * 8, -(-lq // 8) * 8)
@@ -422,9 +425,13 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
     probabilities — no (B, H, Lq, Lk) tensor ever reaches HBM (the XLA
     autodiff fallback materializes it in fp32, the dominant training cost)."""
     b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
-    # 8*hb: the 7*hb backward estimate (see _pick_bq) + the fp32 dbias
-    # accumulation scratch of kernel A
-    bq = _pick_bq(lq, lk, hb, bufs=8 * hb, prefer_large=True)
+    # kernel A's (larger) footprint: 4 fp32 recompute temporaries + bias in
+    # (double-buffered) + dbias out at the bias dtype + fp32 scratch
+    bias_bytes = 4 if bias is None else bias.dtype.itemsize
+    bq = _pick_bq(
+        lq, lk, hb, prefer_large=True,
+        bytes_per_cell=4 * 4 + 3 * hb * bias_bytes + 4 * hb,
+    )
     nb = pl.cdiv(lq, bq)
 
     had_bias = bias is not None
