@@ -86,6 +86,9 @@ def tiny_cfg():
         orig_patch_image_size=a.orig_patch_image_size,
         num_seg_tokens=a.num_seg,
         scale_resids=True,
+        # the oracle checks the reference-exact erf gelu (torch F.gelu);
+        # the production default is gelu_tanh (see config.ModelConfig)
+        activation_fn="gelu",
         dtype="float32",
         use_flash_attention=False,
         checkpoint_activations=False,
