@@ -65,11 +65,15 @@ def _grid_from_logits(logits, hw: Tuple[int, int]):
     return grid.reshape(grid.shape[0], h, w, grid.shape[-1])
 
 
-def _row_chunk_scan(grid, out_hw, row_chunks: int, body):
+def _row_chunk_scan(grid, out_hw, row_chunks: int, body, chunk_dtype=None):
     """Shared driver: W-upsample once, scan chunks of output rows through
     ``body(chunk_logits, row_slice) -> carry update``.
 
     grid: (B, h, w, C).  Returns list of per-chunk outputs stacked by scan.
+    ``chunk_dtype=bfloat16`` emits each chunk in bf16 (the convert fuses
+    into the upsample matmul's epilogue, halving the chunk's HBM footprint;
+    the CE reduces then read bf16 with fp32 accumulation — the reference
+    feeds fp16 logits to F.cross_entropy, same precision class).
     """
     b, h, w, c = grid.shape
     H, W = out_hw
@@ -97,6 +101,8 @@ def _row_chunk_scan(grid, out_hw, row_chunks: int, body):
         chunk = jnp.einsum(
             "Wj,brjc->brWc", aw, t, preferred_element_type=jnp.float32
         )  # (B, rows, W, C)
+        if chunk_dtype is not None:
+            chunk = chunk.astype(chunk_dtype)
         return body(carry, chunk, i, rows)
 
     def scan_body(carry, xs):
@@ -128,7 +134,9 @@ def upsampled_ce(
         out = _ce_from_logits(chunk, sl, vl, label_smoothing)
         return LossOut(carry.loss_sum + out.loss_sum, carry.count + out.count)
 
-    return _row_chunk_scan(grid_logits, (H, W), row_chunks, body)
+    return _row_chunk_scan(
+        grid_logits, (H, W), row_chunks, body, chunk_dtype=jnp.bfloat16
+    )
 
 
 def upsampled_areas(
