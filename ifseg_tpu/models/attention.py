@@ -135,9 +135,11 @@ class MultiheadAttention(nn.Module):
             # outputs and returns (B, Lq, H*D) — the four (B,H,L,D) HBM
             # layout copies per site (q/k/v in + out back) were ~10 ms/step
             # at batch-32 serving (VERDICT r2 weak #7)
-            from ifseg_tpu.ops.flash_attention import flash_attention_bias_packed
+            from ifseg_tpu.ops.flash_attention import (
+                flash_attention_bias_packed_stats,
+            )
 
-            out = flash_attention_bias_packed(
+            out, lse = flash_attention_bias_packed_stats(
                 q.reshape(b, lq, self.embed_dim),
                 k.reshape(bk, lk, self.embed_dim),
                 v.reshape(bk, lk, self.embed_dim),
@@ -145,7 +147,11 @@ class MultiheadAttention(nn.Module):
                 key_padding_mask,
                 causal,
                 self.num_heads,
-            ).reshape(b, lq, self.num_heads, head_dim).astype(self.dtype)
+            )
+            # lse is stats-only here (tagged 'attn_lse' on the residual path
+            # inside the op's vjp so save-attn remat stores it)
+            del lse
+            out = out.reshape(b, lq, self.num_heads, head_dim).astype(self.dtype)
         else:
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32

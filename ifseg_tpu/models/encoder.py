@@ -51,11 +51,15 @@ def _remat_policy(cfg: "ModelConfig"):
     each attention kernel's output (tagged 'attn_out' in attention.py) so the
     backward recomputes only matmuls/LNs, never the flash kernels."""
     policy = getattr(cfg, "remat_policy", "full")
+    # 'attn_lse' rides along with the kernel output: the flash backward
+    # rebuilds p from the saved row logsumexp (ops/flash_attention._fwd)
     if policy == "save-attn":
-        return jax.checkpoint_policies.save_only_these_names("attn_out")
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "attn_lse"
+        )
     if policy == "save-attn-ffn":
         return jax.checkpoint_policies.save_only_these_names(
-            "attn_out", "ffn_act"
+            "attn_out", "attn_lse", "ffn_act"
         )
     return None  # full recompute
 

@@ -132,8 +132,13 @@ def _softmax_rows(logits):
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq,
-                 packed, hb, d):
-    # rest = (mask_ref, out_ref) when a batch mask is passed, else (out_ref,)
+                 packed, hb, d, with_stats=False):
+    # rest = (mask_ref?, out_ref[, lse_ref]); lse_ref (1, 1, bq, hb) when the
+    # vjp forward also saves the row logsumexp for the backward kernels
+    lse_ref = None
+    if with_stats:
+        lse_ref = rest[-1]
+        rest = rest[:-1]
     mask_ref = rest[:-1]
     out_ref = rest[-1]
     i = pl.program_id(1)
@@ -165,6 +170,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, causal, lq, lk, bq,
             preferred_element_type=jnp.float32,
         )
         outs.append((acc / s).astype(out_ref.dtype))
+        if lse_ref is not None:
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            lse_ref[0, 0, :, g] = (m + jnp.log(s))[:, 0]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
     if packed:
         out_ref[0] = out
@@ -210,7 +218,8 @@ def _qspec(bq, d, hb, packed, perm4, perm3):
     )
 
 
-def _flash_forward(q, k, v, bias, key_padding_mask, causal, num_heads=None):
+def _flash_forward(q, k, v, bias, key_padding_mask, causal, num_heads=None,
+                   with_stats=False):
     b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
     bq = _pick_bq(lq, lk, hb)
     nb = pl.cdiv(lq, bq)
@@ -239,41 +248,72 @@ def _flash_forward(q, k, v, bias, key_padding_mask, causal, num_heads=None):
 
     kernel = functools.partial(
         _attn_kernel, causal=causal, lq=lq, lk=lk, bq=bq, packed=packed,
-        hb=hb, d=d,
+        hb=hb, d=d, with_stats=with_stats,
     )
     out_shape = (b, lq, h * d) if packed else (b, h, lq, d)
+    out_specs = _qspec(bq, d, hb, packed,
+                       lambda h_, i, b_: (b_, h_, i, 0),
+                       lambda h_, i, b_: (b_, i, h_))
+    out_shapes = jax.ShapeDtypeStruct(out_shape, q.dtype)
+    if with_stats:
+        # row logsumexp in the (B, H/hb, Lq, hb) layout the backward kernels
+        # read: the trailing (bq, hb) block dims satisfy Mosaic's tiling
+        # rules (hb = full axis) and each head group's rows are addressed by
+        # a STATIC lane index inside the kernel
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, bq, hb), lambda h_, i, b_: (b_, h_, i, 0))]
+        out_shapes = [out_shapes,
+                      jax.ShapeDtypeStruct((b, h // hb, lq, hb), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=_qspec(bq, d, hb, packed,
-                         lambda h_, i, b_: (b_, h_, i, 0),
-                         lambda h_, i, b_: (b_, i, h_)),
-        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=_interpret_mode(),
     )(*inputs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def flash_attention_bias(q, k, v, bias, key_padding_mask, causal=False):
-    """Fused attention forward; streaming Pallas backward (or exact XLA
-    recompute, see BACKWARD_IMPL).  Legacy layout:
+def flash_attention_bias_stats(q, k, v, bias, key_padding_mask, causal=False):
+    """Fused attention returning ``(out, lse)`` — the row logsumexp rides
+    along as a primal OUTPUT so that under ``jax.checkpoint`` a remat policy
+    saving 'attn_lse' substitutes the stored value and the backward never
+    re-runs the forward kernel (an lse-as-residual-only design measured one
+    extra forward kernel per site per step).  Legacy layout:
 
-    q (B,H,Lq,D); k,v (B,H,Lk,D); bias (H,Lq,Lk) fp32 or None;
+    q (B,H,Lq,D); k,v (B,H,Lk,D); bias (H,Lq,Lk) fp32/bf16 or None;
     key_padding_mask (B,Lk) bool (True = pad) or None.
+    lse is (B, H/hb, Lq, hb) fp32 (the backward kernels' block layout).
     """
-    return _flash_forward(q, k, v, bias, key_padding_mask, causal)
+    return _flash_forward(q, k, v, bias, key_padding_mask, causal,
+                          with_stats=True)
+
+
+def flash_attention_bias(q, k, v, bias, key_padding_mask, causal=False):
+    """Fused attention forward (legacy layout), output only."""
+    return flash_attention_bias_stats(q, k, v, bias, key_padding_mask, causal)[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_bias_packed_stats(q, k, v, bias, key_padding_mask, causal,
+                                      num_heads):
+    """Packed-layout fused attention returning ``(out, lse)``: q (B,Lq,H*D),
+    k/v (B,Lk,H*D) — the raw projection outputs — and out (B,Lq,H*D).  No
+    head transpose touches HBM in either direction (blocks carry head
+    groups; see module doc)."""
+    return _flash_forward(
+        q, k, v, bias, key_padding_mask, causal, num_heads=num_heads,
+        with_stats=True,
+    )
+
+
 def flash_attention_bias_packed(q, k, v, bias, key_padding_mask, causal,
                                 num_heads):
-    """Packed-layout fused attention: q (B,Lq,H*D), k/v (B,Lk,H*D) — the raw
-    projection outputs — and output (B,Lq,H*D).  No head transpose touches
-    HBM in either direction (blocks carry head groups; see module doc)."""
-    return _flash_forward(
-        q, k, v, bias, key_padding_mask, causal, num_heads=num_heads
-    )
+    """Packed-layout fused attention, output only."""
+    return flash_attention_bias_packed_stats(
+        q, k, v, bias, key_padding_mask, causal, num_heads
+    )[0]
 
 
 # None = auto (interpret when not on TPU hardware); tests may force True
@@ -288,17 +328,22 @@ def _interpret_mode() -> bool:
 
 # --------------------------------------------------------------- backward
 
-def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
-    """Shared logits -> probabilities recompute for the backward kernels.
+def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk,
+                 lse_rows):
+    """Shared logits -> probabilities recompute for the backward kernels:
+    ``p = exp(logits - lse)`` with the row logsumexp SAVED by the vjp
+    forward — no max/sum/divide passes, and the kernels need no p@v matmul
+    to rebuild the forward output (``di`` comes in precomputed from the
+    saved output, the standard flash-backward structure).
 
     The wrapper (_flash_backward) pads q/do/bias to an exact block multiple
     before launching, so there is NO in-kernel tail handling: measured on
     v5e, per-program row-masking for a ragged Lq (the 1025-token decoder)
     knocked Mosaic off its fast path and made these kernels 3-5x slower
     than the aligned encoder case (14.8/24 ms vs 4.8 ms per dq+dkv pair).
-    Padded q rows are all-zero: logits = bias (finite), p = softmax(row) is
-    finite, and the zero ``do`` rows kill every padded contribution to
-    dk/dv/dbias exactly."""
+    Padded q rows are all-zero with lse padded to +40: p = exp(bias - 40)
+    underflows to ~0, and the zero ``do`` rows kill every padded
+    contribution to dk/dv/dbias exactly."""
     logits = jax.lax.dot_general(
         q_blk, k_all, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -309,12 +354,11 @@ def _recompute_p(q_blk, k_all, bias_blk, mask_ref, causal, i, bq, lq, lk):
         rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * bq
         cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(cols > rows + (lk - lq), NEG_INF, logits)
-    e, s = _softmax_rows(logits)
-    return e / s  # fp32 (bq, Lk)
+    return jnp.exp(logits - lse_rows[:, None])  # fp32 (bq, Lk)
 
 
-def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
-                         causal, lq, lk, bq, nb, packed, hb, d):
+def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                         di_ref, *rest, causal, lq, lk, bq, nb, packed, hb, d):
     mask_ref = rest[:-3]
     dq_ref, dbias_ref, dbias_acc = rest[-3], rest[-2], rest[-1]
     i = pl.program_id(1)
@@ -334,17 +378,14 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
     dqs = []
     for g in range(len(qs)):
         q, k, v = qs[g], ks[g], vs[g]
-        p = _recompute_p(q, k, bias_ref[g], mask_ref, causal, i, bq, lq, lk)
+        p = _recompute_p(q, k, bias_ref[g], mask_ref, causal, i, bq, lq, lk,
+                         lse_ref[0, 0, :, g])
         do = dos[g].astype(jnp.float32)
         dp = jax.lax.dot_general(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, Lk)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        di = jnp.sum(do * o, axis=-1, keepdims=True)
+        di = di_ref[0, 0, :, g][:, None]  # rowsum(do*out), saved-out form
         dlogits = p * (dp - di)  # fp32; exact zeros on padded rows (do = 0)
         dq = jax.lax.dot_general(
             dlogits.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -363,8 +404,8 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
         dbias_ref[...] = dbias_acc[...].astype(dbias_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
-                    causal, lq, lk, bq, nb, packed, hb, d):
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, di_ref,
+                    *rest, causal, lq, lk, bq, nb, packed, hb, d):
     mask_ref = rest[:-2]
     dk_ref, dv_ref = rest[-2], rest[-1]
     i = pl.program_id(2)  # q-block index is innermost here
@@ -377,17 +418,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
     dks, dvs = [], []
     for g in range(len(qs)):
         q, k, v = qs[g], ks[g], vs[g]
-        p = _recompute_p(q, k, bias_ref[g], mask_ref, causal, i, bq, lq, lk)
+        p = _recompute_p(q, k, bias_ref[g], mask_ref, causal, i, bq, lq, lk,
+                         lse_ref[0, 0, :, g])
         do = dos[g].astype(jnp.float32)
         dp = jax.lax.dot_general(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        di = jnp.sum(do * o, axis=-1, keepdims=True)
+        di = di_ref[0, 0, :, g][:, None]
         dlogits = p * (dp - di)
         dv_c = jax.lax.dot_general(  # (Lk, D) = p^T @ do
             p.astype(g_dtype), do.astype(g_dtype),
@@ -419,12 +457,25 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *rest,
         dv_ref[0, 0] += dv
 
 
-def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
+def _flash_backward(q, k, v, bias, key_padding_mask, causal, g, out, lse,
                     num_heads=None):
-    """Pallas backward: streams q-blocks like the forward, recomputing the
-    probabilities — no (B, H, Lq, Lk) tensor ever reaches HBM (the XLA
-    autodiff fallback materializes it in fp32, the dominant training cost)."""
+    """Pallas backward: streams q-blocks like the forward, rebuilding the
+    probabilities from the SAVED row logsumexp (p = exp(logits - lse)) — no
+    (B, H, Lq, Lk) tensor ever reaches HBM, no per-block max/sum/divide,
+    and no p@v matmul to rebuild the output: di = rowsum(do*out) comes in
+    precomputed from the saved forward output (two matmuls fewer per site
+    than the stats-free recompute this replaces)."""
     b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
+
+    # di in the same (B, H/hb, Lq, hb) layout as lse (see _flash_forward)
+    if packed:
+        prod = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+            b, lq, h, d
+        )
+        di = jnp.sum(prod, axis=-1).transpose(0, 2, 1)  # (B, H, Lq)
+    else:
+        di = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    di = di.reshape(b, h // hb, hb, lq).transpose(0, 1, 3, 2)
     # kernel A's (larger) footprint: 4 fp32 recompute temporaries + bias in
     # (double-buffered) + dbias out at the bias dtype + fp32 scratch
     bias_bytes = 4 if bias is None else bias.dtype.itemsize
@@ -451,8 +502,13 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
         q = jnp.pad(q, qpad)
         g = jnp.pad(g, qpad)
         bias = jnp.pad(bias, [(0, 0), (0, pad_q), (0, 0)])
+        # lse pad +40: padded rows' p = exp(bias - 40) underflows to ~0 (and
+        # their do rows are zero anyway); di pad 0
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, pad_q), (0, 0)],
+                      constant_values=40.0)
+        di = jnp.pad(di, [(0, 0), (0, 0), (0, pad_q), (0, 0)])
 
-    base_inputs = [q, k, v, bias, g]
+    base_inputs = [q, k, v, bias, g, lse, di]
     mask_input = []
     if key_padding_mask is not None:
         mask_input = [_mask_to_additive(key_padding_mask)]
@@ -472,6 +528,8 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
         kspec(lambda h_, i, b_: (b_, h_, 0, 0), lambda h_, i, b_: (b_, 0, h_)),
         pl.BlockSpec((hb, bq, lk), lambda h_, i, b_: (h_, i, 0)),
         qspec(lambda h_, i, b_: (b_, h_, i, 0), lambda h_, i, b_: (b_, i, h_)),
+        pl.BlockSpec((1, 1, bq, hb), lambda h_, i, b_: (b_, h_, i, 0)),
+        pl.BlockSpec((1, 1, bq, hb), lambda h_, i, b_: (b_, h_, i, 0)),
     ] + ([pl.BlockSpec((1, 1, lk), lambda h_, i, b_: (b_, 0, 0))] if mask_input else [])
     dq, dbias = pl.pallas_call(
         functools.partial(_bwd_dq_dbias_kernel, **kw),
@@ -501,6 +559,8 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
         kspec(lambda h_, b_, i: (b_, h_, 0, 0), lambda h_, b_, i: (b_, 0, h_)),
         pl.BlockSpec((hb, bq, lk), lambda h_, b_, i: (h_, i, 0)),
         qspec(lambda h_, b_, i: (b_, h_, i, 0), lambda h_, b_, i: (b_, i, h_)),
+        pl.BlockSpec((1, 1, bq, hb), lambda h_, b_, i: (b_, h_, i, 0)),
+        pl.BlockSpec((1, 1, bq, hb), lambda h_, b_, i: (b_, h_, i, 0)),
     ] + ([pl.BlockSpec((1, 1, lk), lambda h_, b_, i: (b_, 0, 0))] if mask_input else [])
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **kw),
@@ -524,15 +584,29 @@ def _flash_backward(q, k, v, bias, key_padding_mask, causal, g,
 
 
 def _fwd(q, k, v, bias, key_padding_mask, causal):
-    return _flash_forward(q, k, v, bias, key_padding_mask, causal), (
-        q, k, v, bias, key_padding_mask,
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, lse = _flash_forward(
+        q, k, v, bias, key_padding_mask, causal, with_stats=True
     )
+    # names on the RESIDUAL path: under nn.remat with the save-attn policy
+    # these are stored, so the backward substitutes them and the forward
+    # kernel is never re-run to regenerate residuals
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return (out, lse), (q, k, v, bias, key_padding_mask, out, lse)
 
 
 def _fwd_packed(q, k, v, bias, key_padding_mask, causal, num_heads):
-    return _flash_forward(
-        q, k, v, bias, key_padding_mask, causal, num_heads=num_heads
-    ), (q, k, v, bias, key_padding_mask)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, lse = _flash_forward(
+        q, k, v, bias, key_padding_mask, causal, num_heads=num_heads,
+        with_stats=True,
+    )
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return (out, lse), (q, k, v, bias, key_padding_mask, out, lse)
 
 
 # Backward implementation, A/B-measured on v5e at the reference train config
@@ -547,9 +621,12 @@ BACKWARD_IMPL = _os.environ.get("IFSEG_FLASH_BACKWARD", "pallas")
 
 
 def _bwd(causal, res, g):
-    q, k, v, bias, key_padding_mask = res
+    q, k, v, bias, key_padding_mask, out, lse = res
+    g, _ = g  # (d_out, d_lse); lse is stats-only, its cotangent is dropped
     if BACKWARD_IMPL == "pallas":
-        dq, dk, dv, db = _flash_backward(q, k, v, bias, key_padding_mask, causal, g)
+        dq, dk, dv, db = _flash_backward(
+            q, k, v, bias, key_padding_mask, causal, g, out, lse
+        )
         return dq, dk, dv, db, None
     _, vjp = jax.vjp(
         lambda q_, k_, v_, b_: _attention_xla(q_, k_, v_, b_, key_padding_mask, causal),
@@ -562,10 +639,12 @@ def _bwd(causal, res, g):
 
 
 def _bwd_packed(causal, num_heads, res, g):
-    q, k, v, bias, key_padding_mask = res
+    q, k, v, bias, key_padding_mask, out, lse = res
+    g, _ = g  # (d_out, d_lse); lse is stats-only, its cotangent is dropped
     if BACKWARD_IMPL == "pallas":
         dq, dk, dv, db = _flash_backward(
-            q, k, v, bias, key_padding_mask, causal, g, num_heads=num_heads
+            q, k, v, bias, key_padding_mask, causal, g, out, lse,
+            num_heads=num_heads,
         )
         return dq, dk, dv, db, None
     # XLA recompute fallback: reshape to the legacy layout
@@ -584,8 +663,8 @@ def _bwd_packed(causal, num_heads, res, g):
             (db if bias is not None else None), None)
 
 
-flash_attention_bias.defvjp(_fwd, _bwd)
-flash_attention_bias_packed.defvjp(_fwd_packed, _bwd_packed)
+flash_attention_bias_stats.defvjp(_fwd, _bwd)
+flash_attention_bias_packed_stats.defvjp(_fwd_packed, _bwd_packed)
 
 
 def flash_available() -> bool:
