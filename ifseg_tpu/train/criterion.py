@@ -82,7 +82,15 @@ def _row_chunk_scan(grid, out_hw, row_chunks: int, body, chunk_dtype=None):
     assert H % row_chunks == 0, (H, row_chunks)
     rows = H // row_chunks
     ah_chunks = ah.reshape(row_chunks, rows, h)
-    grid = grid.astype(jnp.float32)
+    if chunk_dtype is not None:
+        # bf16 operands for the upsample dots (fp32 accumulation): the K=32
+        # contraction underuses the MXU, so the 4x bf16 rate is the lever —
+        # and the reference upsamples fp16 logits (F.interpolate on half)
+        grid = grid.astype(chunk_dtype)
+        ah_chunks = ah_chunks.astype(chunk_dtype)
+        aw = aw.astype(chunk_dtype)
+    else:
+        grid = grid.astype(jnp.float32)
 
     # rows-first per chunk: each chunk upsamples straight from the tiny
     # (B, h, w, C) grid — first the chunk's output rows (B, rows, w, C),
