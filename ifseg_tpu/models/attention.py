@@ -136,10 +136,11 @@ class MultiheadAttention(nn.Module):
             # layout copies per site (q/k/v in + out back) were ~10 ms/step
             # at batch-32 serving (VERDICT r2 weak #7)
             from ifseg_tpu.ops.flash_attention import (
+                flash_attention_bias_packed_infer,
                 flash_attention_bias_packed_stats,
             )
 
-            out, lse = flash_attention_bias_packed_stats(
+            packed = (
                 q.reshape(b, lq, self.embed_dim),
                 k.reshape(bk, lk, self.embed_dim),
                 v.reshape(bk, lk, self.embed_dim),
@@ -148,9 +149,14 @@ class MultiheadAttention(nn.Module):
                 causal,
                 self.num_heads,
             )
-            # lse is stats-only here (tagged 'attn_lse' on the residual path
-            # inside the op's vjp so save-attn remat stores it)
-            del lse
+            if deterministic:
+                # serving / monitoring / eval: no grads flow, skip the lse
+                # stats output (and its custom-vjp residuals) entirely
+                out = flash_attention_bias_packed_infer(*packed)
+            else:
+                # training: lse rides along, tagged 'attn_lse' on the vjp
+                # residual path so save-attn remat stores it for the backward
+                out, _lse = flash_attention_bias_packed_stats(*packed)
             out = out.reshape(b, lq, self.num_heads, head_dim).astype(self.dtype)
         else:
             logits = jnp.einsum(

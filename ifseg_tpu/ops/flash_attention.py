@@ -316,6 +316,16 @@ def flash_attention_bias_packed(q, k, v, bias, key_padding_mask, causal,
     )[0]
 
 
+def flash_attention_bias_packed_infer(q, k, v, bias, key_padding_mask,
+                                      causal, num_heads):
+    """Inference-only packed forward: no lse output, no custom vjp —
+    differentiating through this raises (use the *_stats variant in paths
+    that train)."""
+    return _flash_forward(
+        q, k, v, bias, key_padding_mask, causal, num_heads=num_heads
+    )
+
+
 # None = auto (interpret when not on TPU hardware); tests may force True
 INTERPRET = None
 
