@@ -167,7 +167,9 @@ if __name__ == "__main__":
                 {
                     "metric": metric,
                     "value": 0.0,
-                    "unit": "images/sec/chip",
+                    "unit": (
+                        "s/step(batch16)" if train_mode else "images/sec/chip"
+                    ),
                     "vs_baseline": None,
                     "error": f"{type(e).__name__}: {e}"[:300],
                 }

@@ -221,7 +221,10 @@ def _qspec(bq, d, hb, packed, perm4, perm3):
 def _flash_forward(q, k, v, bias, key_padding_mask, causal, num_heads=None,
                    with_stats=False):
     b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
-    bq = _pick_bq(lq, lk, hb)
+    # byte-accurate footprint (see _pick_bq): one fp32 logits temporary +
+    # double-buffered bias blocks at the bias dtype
+    bias_bytes = 4 if bias is None else bias.dtype.itemsize
+    bq = _pick_bq(lq, lk, hb, bytes_per_cell=4 + 2 * hb * bias_bytes)
     nb = pl.cdiv(lq, bq)
 
     if bias is None:

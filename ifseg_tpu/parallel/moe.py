@@ -79,6 +79,13 @@ def base_moe_layer(
         # expert axis; slice this member's share
         idx = jax.lax.axis_index(expert_axis)
         n_rep = x_rep.shape[0]
+        # tail rows past n_local*n_exp would be sliced by NO expert member
+        # and come back as silent zeros from the psum reassembly — fail
+        # loudly instead (moe_ffn.py pads to a data*fsdp*E^2 multiple)
+        assert n_rep % n_exp == 0, (
+            f"{n_rep} resident rows not divisible by {n_exp} experts; pad "
+            f"the token axis before base_moe_layer"
+        )
         n_local = n_rep // n_exp
         x_l = jax.lax.dynamic_slice_in_dim(x_rep, idx * n_local, n_local, 0)
         # centroids_l: (1, D) local shard -> gather all for scoring

@@ -97,8 +97,18 @@ def gpipe(
     )
     # each data shard chunks its own resident rows; clamp the microbatch
     # count to what divides them (m=1 degenerates to a full-bubble pipeline,
-    # still correct)
+    # still correct) — loudly, since a silent clamp hides an S-1/S idle
+    # bubble the user thought --pipeline-chunks had removed
+    m_req = m
     m = math.gcd(m, b_total // data_size)
+    if m != m_req:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pipeline microbatches clamped %d -> %d (per-shard rows %d not "
+            "divisible); pipeline bubble grows accordingly",
+            m_req, m, b_total // data_size,
+        )
     for leaf in jax.tree_util.tree_leaves(carried):
         assert jnp.issubdtype(leaf.dtype, jnp.inexact), (
             f"carried leaves must be float (got {leaf.dtype}); pass masks/"
