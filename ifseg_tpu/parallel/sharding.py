@@ -71,9 +71,22 @@ def _spec_for(
                     if i < len(spec) and ax is not None and shape[i] % mesh.shape["model"] == 0:
                         spec[i] = ax
                 break
-    if use_fsdp and mesh.shape["fsdp"] > 1:
-        # shard the largest unsharded axis that divides evenly
+    if use_fsdp and mesh.shape["fsdp"] > 1 and len(shape) >= 2:
+        # Shard the largest unsharded axis that divides evenly.  1-D params
+        # (LayerNorm scales, biases) stay replicated: they are a negligible
+        # fraction of the bytes, and fsdp-sharding e.g. an LN gamma over its
+        # only (feature) axis makes the dgamma reduction in backward demand
+        # the (B, L, E) activation resharded batch-major -> feature-major —
+        # a transition the SPMD partitioner can only do by full
+        # rematerialization (replicate + repartition).
         order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        if re.search(r"embedding$", path_str):
+            # Gather tables (token/position/type embeddings) may only shard
+            # the row axis: a feature-dim-sharded table makes every lookup
+            # emerge feature-sharded, and feature-major -> batch-major is
+            # another full-remat transition.  Odd row counts just replicate
+            # (a few MB; not worth padding the vocab for).
+            order = [0]
         for i in order:
             if spec[i] is None and shape[i] % mesh.shape["fsdp"] == 0 and shape[i] >= mesh.shape["fsdp"] * 8:
                 spec[i] = "fsdp"
