@@ -4,13 +4,15 @@ Matches BASELINE.json's headline metric.  The reference publishes no number
 (BASELINE.md), so ``vs_baseline`` is reported as null until a reference
 measurement exists.
 
-Prints exactly one JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": null}
+The default run prints TWO JSON lines — the training-step line first, the
+inference headline line LAST (the driver parses the last line, so the headline
+metric is preserved while the artifact also records training perf):
+  {"metric": "segofa_base_512px_train_step", "value": N, "unit": "s/step(batch16)", ...}
+  {"metric": "segofa_base_512px_inference", "value": N, "unit": "images/sec/chip", ...}
 
-``bench.py --train`` instead measures the training step at the reference
-config (OFA-Base 512px, global batch 16 — run_scripts/IFSeg/coco_unseen.sh:6,35)
-and prints one JSON line with s/step + derived MFU, so training-perf
-regressions are machine-visible rather than README prose.
+``bench.py --train`` measures only the training step at the reference config
+(OFA-Base 512px, global batch 16 — run_scripts/IFSeg/coco_unseen.sh:6,35);
+``bench.py --infer`` measures only inference.
 """
 
 import json
@@ -153,26 +155,45 @@ def main_train():
     )
 
 
+def _emit_error_line(metric: str, unit: str, e: Exception) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": 0.0,
+                "unit": unit,
+                "vs_baseline": None,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     train_mode = "--train" in sys.argv[1:]
-    metric = (
-        "segofa_base_512px_train_step" if train_mode
-        else "segofa_base_512px_inference"
-    )
-    try:
-        main_train() if train_mode else main()
-    except Exception as e:  # always emit exactly one JSON line for the driver
-        print(
-            json.dumps(
-                {
-                    "metric": metric,
-                    "value": 0.0,
-                    "unit": (
-                        "s/step(batch16)" if train_mode else "images/sec/chip"
-                    ),
-                    "vs_baseline": None,
-                    "error": f"{type(e).__name__}: {e}"[:300],
-                }
-            )
-        )
-        raise SystemExit(1)
+    infer_only = "--infer" in sys.argv[1:]
+    if train_mode:
+        # explicit --train: the train line only
+        try:
+            main_train()
+        except Exception as e:
+            _emit_error_line("segofa_base_512px_train_step", "s/step(batch16)", e)
+            raise SystemExit(1)
+    else:
+        # default run: train JSON line FIRST, inference line LAST.  The driver
+        # parses the tail/last line, so the headline inference metric is
+        # preserved while the recorded artifact also carries training perf
+        # (a train regression is machine-visible in BENCH_r*.json).
+        if not infer_only:
+            try:
+                main_train()
+            except Exception as e:
+                _emit_error_line(
+                    "segofa_base_512px_train_step", "s/step(batch16)", e
+                )
+                # train failure must not suppress the headline metric
+        try:
+            main()
+        except Exception as e:
+            _emit_error_line("segofa_base_512px_inference", "images/sec/chip", e)
+            raise SystemExit(1)

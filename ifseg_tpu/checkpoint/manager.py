@@ -77,7 +77,15 @@ class CheckpointManager:
             name = f"checkpoint_{epoch}_{updates}"
         else:
             name = f"checkpoint_{epoch}"
-        tree = {"state": jax.device_get(state)}
+        # single-process: pull to host so the async write never races a
+        # donated-buffer reuse.  Multi-process: device_get on a cross-process
+        # sharded array is impossible (shards are not addressable) — hand
+        # orbax the sharded jax.Arrays; it writes each host's shards and
+        # coordinates the commit across processes.
+        if jax.process_count() == 1:
+            tree = {"state": jax.device_get(state)}
+        else:
+            tree = {"state": state}
         # async write: wait for the PREVIOUS save to commit, then kick off
         # this one and return — the disk write overlaps subsequent training
         # steps (latest()/load() re-synchronize before any read)

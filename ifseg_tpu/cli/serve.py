@@ -38,7 +38,7 @@ class SegService:
     """Owns the model, the precomputed serving pack, and the batching loop."""
 
     def __init__(self, cfg, params, categories, src_tokens, max_batch=8,
-                 batch_timeout_ms=5.0):
+                 batch_timeout_ms=5.0, quantize="none"):
         import jax
         import jax.numpy as jnp
 
@@ -54,13 +54,30 @@ class SegService:
         self.src = np.broadcast_to(src_tokens, (max_batch,) + src_tokens.shape[1:])
 
         model = SegOFA(cfg.model)
-        server = SegServer(model, params, src_len=src_tokens.shape[1])
-        self._params = params
+        server = SegServer(
+            model, params, src_len=src_tokens.shape[1], quantize=quantize
+        )
+        self._params = server.params  # int8 tree when quantized
         self._pre = server.pre
+        if quantize == "int8":
+            r = server.quant_report
+            logger.info(
+                "int8 weight-only serving: %d tensors quantized (%d kept), "
+                "%.0f MB -> %.0f MB",
+                r["quantized"], r["kept"],
+                r["bytes_fp32"] / 1e6, r["bytes_quant"] / 1e6,
+            )
+
+        if quantize == "int8":
+            from ifseg_tpu.ops.quantization import dequantize_tree
+
+            unpack = dequantize_tree
+        else:
+            unpack = lambda p: p  # noqa: E731
 
         @jax.jit
         def fwd(p, pre, src, img, bos):
-            logits = forward_served(model, p, pre, src, img, bos)
+            logits = forward_served(model, unpack(p), pre, src, img, bos)
             hw = self.grid * self.grid
             return jnp.argmax(logits[:, :hw].astype(jnp.float32), axis=-1)
 
@@ -203,6 +220,11 @@ def build_service(args_list=None, params=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-timeout-ms", type=float, default=5.0)
+    p.add_argument(
+        "--quantize", default="none", choices=["none", "int8"],
+        help="int8: weight-only quantization (per-channel scales); weights "
+        "stream from HBM as int8 and dequantize inside the step",
+    )
     args = p.parse_args(args_list)
 
     import jax
@@ -255,6 +277,7 @@ def build_service(args_list=None, params=None):
     svc = SegService(
         cfg, params, categories, src,
         max_batch=args.max_batch, batch_timeout_ms=args.batch_timeout_ms,
+        quantize=args.quantize,
     )
     return args, svc
 

@@ -217,9 +217,16 @@ def restore_training_state(cfg, trainer, ckpt):
 def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> None:
     if epoch > 1:
         task.load_dataset("train", epoch=epoch)
+    # each process iterates its OWN TSV slice (file_dataset.py process
+    # sharding) and loads global_batch/nproc rows per step; the trainer
+    # assembles the global batch array from the per-process rows
+    # (trainer._batch_to_arrays make_array_from_process_local_data)
+    global_batch = cfg.optimization.batch_size * max(cfg.optimization.update_freq, 1)
+    from ifseg_tpu.parallel.mesh import local_batch_slice
+
     itr = task.get_batch_iterator(
         "train",
-        batch_size=cfg.optimization.batch_size * max(cfg.optimization.update_freq, 1),
+        batch_size=local_batch_slice(global_batch, trainer.mesh),
         seed=cfg.optimization.seed,
         epoch=epoch,
     )

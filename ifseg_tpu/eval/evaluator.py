@@ -16,7 +16,7 @@ val set, instead of one per unique image shape.
 
 import logging
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -219,17 +219,46 @@ class Evaluator:
             row_valid,
         )
 
+    def _localize_params(self, params):
+        """Native-resolution eval is embarrassingly parallel over each host's
+        row shard (no cross-host collectives inside the loop), so under
+        multi-process the global (e.g. fsdp-sharded) params must first become
+        process-local: one all-gather to fully-replicated (a replicated
+        global array IS host-readable), then commit to a local device.  Cost:
+        one params gather per validation epoch.  Single process: identity."""
+        if jax.process_count() == 1:
+            return params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        if mesh is None:
+            raise ValueError("multi-process eval needs the Evaluator's mesh")
+        rep = NamedSharding(mesh, P())
+        gathered = jax.jit(
+            lambda p: p,
+            out_shardings=jax.tree_util.tree_map(lambda _: rep, params),
+        )(params)
+        host = jax.device_get(gathered)  # fully replicated -> readable
+        dev = jax.local_devices()[0]
+        return jax.device_put(host, dev)
+
     def eval_sample(self, params, sample: EvalSample) -> Dict[str, np.ndarray]:
-        return jax.device_get(self._run_group(params, [sample]))
+        return jax.device_get(self._run_group(self._localize_params(params), [sample]))
 
     def eval_dataset(
-        self, params, dataset, batch_size: int = 1, prefetch: int = 4
+        self, params, dataset, batch_size: int = 1, prefetch: int = 4,
+        stats_out: Optional[dict] = None,
     ):
         """Evaluate every sample: host preprocessing runs in a background
         thread overlapping device compute; samples whose shapes fall in the
         same bucket batch together (--batch-size-valid); results stay on
         device until the final readback (no per-sample sync).  Yields one
-        logging dict per executed group."""
+        logging dict per executed group.
+
+        ``stats_out`` (optional dict) receives batching observability:
+        ``group_sizes`` (actual rows per executed group, launch order) and
+        ``buckets`` (bucket key -> sample count) — the evidence that
+        --batch-size-valid forms real batches under keep-ratio shapes."""
         import queue as queue_mod
         import threading
 
@@ -249,8 +278,16 @@ class Evaluator:
 
         threading.Thread(target=producer, daemon=True).start()
 
+        params = self._localize_params(params)
         groups: Dict[tuple, list] = {}
+        group_sizes: list = []
+        bucket_counts: Dict[tuple, int] = {}
         outs = []
+
+        def run(samples):
+            group_sizes.append(len(samples))
+            outs.append(self._run_group(params, samples))
+
         while True:
             sample = q.get()
             if sample is None:
@@ -270,11 +307,15 @@ class Evaluator:
                 _bucket(sample.ori_semantic_seg.shape[1]),
                 sample.src_tokens.shape[0],
             )
+            bucket_counts[skey] = bucket_counts.get(skey, 0) + 1
             groups.setdefault(skey, []).append(sample)
             if len(groups[skey]) >= max(batch_size, 1):
-                outs.append(self._run_group(params, groups.pop(skey)))
+                run(groups.pop(skey))
         for rest in groups.values():
-            outs.append(self._run_group(params, rest))
+            run(rest)
+        if stats_out is not None:
+            stats_out["group_sizes"] = group_sizes
+            stats_out["buckets"] = bucket_counts
         return [jax.device_get(o) for o in outs]
 
 

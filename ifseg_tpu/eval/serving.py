@@ -40,17 +40,42 @@ def forward_served(model: SegOFA, params, pre, src_tokens, patch_images, bos_tok
 
 
 class SegServer:
-    """Holds a jitted lean forward with the bias pack baked in as inputs."""
+    """Holds a jitted lean forward with the bias pack baked in as inputs.
 
-    def __init__(self, model: SegOFA, params, src_len: int):
+    ``quantize="int8"`` serves WEIGHT-ONLY int8 (per-channel absmax scales,
+    ops/quantization.py): large weights live in HBM as int8 and dequantize on
+    the fly inside the step, halving (vs bf16) the weight bytes each forward
+    streams — the deployment analog of the reference's scalar quantization
+    (quantization_utils.py:143, modules/quantization/scalar).  The bias pack
+    is precomputed from the UNQUANTIZED params (one-time cost, keeps the
+    shape-static tensors exact)."""
+
+    def __init__(self, model: SegOFA, params, src_len: int, quantize: str = "none"):
         self.model = model
-        self.params = params
+        self.quantize = quantize
         self.pre = precompute(model, params, src_len)
-        self._fn = jax.jit(
-            lambda p, pre, src, img, bos: forward_served(
-                model, p, pre, src, img, bos
+        if quantize == "int8":
+            from ifseg_tpu.ops.quantization import (
+                dequantize_tree,
+                quantize_tree_scalar,
             )
-        )
+
+            # eager one-time quantization at startup (per-leaf absmax+round)
+            self.params, self.quant_report = quantize_tree_scalar(params)
+            self._fn = jax.jit(
+                lambda p, pre, src, img, bos: forward_served(
+                    model, dequantize_tree(p), pre, src, img, bos
+                )
+            )
+        elif quantize in ("none", "", None):
+            self.params = params
+            self._fn = jax.jit(
+                lambda p, pre, src, img, bos: forward_served(
+                    model, p, pre, src, img, bos
+                )
+            )
+        else:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
 
     def __call__(self, src_tokens, patch_images, bos_tokens):
         return self._fn(self.params, self.pre, src_tokens, patch_images, bos_tokens)

@@ -117,7 +117,7 @@ def quantize_tree_scalar(params: Any, bits: int = 8, min_size: int = 4096):
             q, s = scalar_quantize(leaf, bits, axis=tuple(range(leaf.ndim - 1)))
             report["quantized"] += 1
             report["bytes_quant"] += size + int(np.prod(s.shape)) * 4
-            return {"__quant__": True, "q": q, "scale": s}
+            return {"q": q, "scale": s}
         report["kept"] += 1
         report["bytes_quant"] += size * 4
         return leaf
@@ -126,12 +126,20 @@ def quantize_tree_scalar(params: Any, bits: int = 8, min_size: int = 4096):
     return tree, report
 
 
+def _is_quant_node(x) -> bool:
+    # structural marker (keys only), so the check stays STATIC when the tree
+    # flows through jit — a bool value inside the tree would become a tracer
+    # and poison `if`
+    return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
+
+
 def dequantize_tree(tree: Any):
+    """Inverse of quantize_tree_scalar; safe to call inside jit (the serving
+    path dequantizes weights on the fly so only int8 bytes stream from HBM)."""
+
     def one(leaf):
-        if isinstance(leaf, dict) and leaf.get("__quant__"):
+        if _is_quant_node(leaf):
             return scalar_dequantize(leaf["q"], leaf["scale"])
         return leaf
 
-    return jax.tree_util.tree_map(
-        one, tree, is_leaf=lambda x: isinstance(x, dict) and x.get("__quant__")
-    )
+    return jax.tree_util.tree_map(one, tree, is_leaf=_is_quant_node)

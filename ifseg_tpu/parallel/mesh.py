@@ -108,4 +108,10 @@ def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
     assert global_batch % nproc == 0, (
         f"global batch {global_batch} not divisible by process count {nproc}"
     )
+    # make_array_from_process_local_data needs each host's rows to exactly
+    # cover its addressable batch shards, i.e. a whole number of data-parallel
+    # shards per host
+    assert dp_total % nproc == 0, (
+        f"dp*fsdp={dp_total} not divisible by process count {nproc}"
+    )
     return global_batch // nproc

@@ -349,6 +349,7 @@ class Trainer:
             }
         if self._batch_shard is None:
             self._batch_shard = batch_sharding(self.mesh)
+        nproc = jax.process_count()
         out = {}
         for k, v in batch.items():
             if v is None:
@@ -366,9 +367,26 @@ class Trainer:
                 # (ufreq * B, ...) -> (ufreq, B, ...) for the accumulation scan
                 v = v.reshape(ufreq, v.shape[0] // ufreq, *v.shape[1:])
                 sharding = self._microbatch_shard(v)
+                batch_dim = 1
             else:
                 sharding = self._batch_shard(v)
-            out[k] = jax.device_put(v, sharding)
+                batch_dim = 0
+            if nproc > 1:
+                # Multi-process: each host loaded only its TSV slice
+                # (data/file_dataset.py jax.process_index() sharding), so ``v``
+                # holds global_batch/nproc rows.  Assemble the GLOBAL array —
+                # each host's rows land on its addressable devices (the mesh
+                # orders devices process-contiguously, parallel/mesh.py), no
+                # cross-host transfer.  The reference's analog is the
+                # rank-sliced sampler feeding each DDP replica
+                # (file_dataset.py:40-45).
+                gshape = list(v.shape)
+                gshape[batch_dim] *= nproc
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, v, tuple(gshape)
+                )
+            else:
+                out[k] = jax.device_put(v, sharding)
         return out
 
     def _microbatch_shard(self, v):

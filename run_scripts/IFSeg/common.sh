@@ -7,8 +7,23 @@
 # batch 4 x 4 GPUs = global batch 16 is expressed directly.
 #
 # Expects: data, num_seg_tokens, category_list, session_name set by caller.
+#
+# Math parity: the framework's perf default is tanh-gelu (measured at the
+# bf16 noise floor vs erf, 100% argmax agreement — README).  These scripts
+# are the weights-day parity runs, so they pin the reference's exact erf
+# gelu (unify_transformer.py activation default) — the first paper-mIoU
+# comparison must not carry an avoidable math variable.  Set PARITY=0 to
+# run with the perf default instead.
 
 set -eu
+
+PARITY=${PARITY:-1}
+if [ "$PARITY" = "1" ]; then
+    activation_fn=gelu
+    echo "[parity] --activation-fn=gelu (reference-exact erf; PARITY=0 for the tanh perf default)"
+else
+    activation_fn=gelu_tanh
+fi
 
 bpe_dir=${bpe_dir:-./assets/BPE}
 log_root=${log_root:-./experiment_outputs}
@@ -64,6 +79,7 @@ python -m ifseg_tpu.cli.train \
     --tie-seg-projection=true --init-seg-with-text=true \
     --decoder-type=surrogate --decoder-input-type=encoder_output \
     --full-context-alignment=false \
+    --activation-fn="${activation_fn}" \
     --resnet-topk=3 --resnet-iters=25 \
     --log-format=simple --log-interval=10 \
     "$@"

@@ -43,6 +43,7 @@ def make_trainer(cfg, task):
 
 
 @pytest.mark.slow
+@pytest.mark.e2e
 def test_save_restore_continue_matches_continuous(tmp_path):
     cfg = tiny_cfg()
     task = DummySegTask(cfg, src_len=10)

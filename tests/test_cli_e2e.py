@@ -14,6 +14,7 @@ from tests.utils import make_seg_tsv
 
 
 @pytest.mark.slow
+@pytest.mark.e2e
 def test_cli_train_e2e(tmp_path):
     tsv = make_seg_tsv(str(tmp_path / "data.tsv"), rows=4, num_seg=3)
     save_dir = str(tmp_path / "ckpt")

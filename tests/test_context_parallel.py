@@ -10,7 +10,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ifseg_tpu.parallel.context import ring_attention
 from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
 
 
 def dense(q, k, v, bias):

@@ -75,6 +75,7 @@ def test_interval_save_rotation_and_manifest(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.e2e
 def test_mid_epoch_resume_matches_continuous(tmp_path):
     """Stop after 2 of 4 updates, restore (params + cursor), finish: final
     params match the uninterrupted run (reference test_reproducibility

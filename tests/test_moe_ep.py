@@ -14,7 +14,7 @@ from ifseg_tpu.ops.balanced_assignment import (
 from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh
 from ifseg_tpu.parallel.moe import base_moe_layer, init_moe_params, moe_param_shardings
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
 
 
 def test_auction_is_balanced_and_greedy_when_easy():

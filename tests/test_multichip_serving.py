@@ -30,6 +30,7 @@ def _tiny():
 
 
 @pytest.mark.slow
+@pytest.mark.mesh
 def test_served_forward_matches_under_dp_sharding():
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual CPU mesh (tests/conftest.py)")

@@ -1,0 +1,130 @@
+"""Multi-process (multi-host) execution test — 2 real OS processes.
+
+The JAX analog of the reference's spawn-based distributed tests
+(custom_fairseq/tests/distributed/utils.py:12-37, test_utils.py:27-110):
+spawns 2 processes that join one global mesh (dp=2 x fsdp=2, params
+fsdp-sharded across the process boundary), each feeding only its
+``local_batch_slice`` rows, and checks the run against a single-process
+golden over the same GLOBAL batch:
+
+  - per-step losses bit-equal across the two processes (the loss is a
+    replicated global scalar) and matching the single-process golden
+  - grad-norm consistency + param-fingerprint sync (reliability sanitizers)
+  - checkpoint save with all processes participating, restore, step
+  - per-process native-res eval reduced via process_allgather -> same global
+    areas as the golden run
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
+
+WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _env():
+    env = dict(os.environ)
+    # let the worker pick its own platform/device config; drop pytest's
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run(args, timeout):
+    proc = subprocess.run(
+        [sys.executable, WORKER, *map(str, args)],
+        capture_output=True, text=True, timeout=timeout, env=_env(), cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"worker {args} failed:\nSTDOUT:\n{proc.stdout[-3000:]}\n"
+        f"STDERR:\n{proc.stderr[-3000:]}"
+    )
+
+
+def _load(outdir, nproc, pid):
+    with open(os.path.join(outdir, f"out_{nproc}proc_{pid}.json")) as fp:
+        return json.load(fp)
+
+
+@pytest.fixture(scope="module")
+def results(tmp_path_factory):
+    base = tmp_path_factory.mktemp("mp")
+    golden_dir, mp_dir = str(base / "golden"), str(base / "mp")
+    os.makedirs(golden_dir), os.makedirs(mp_dir)
+
+    _run([0, 1, 0, golden_dir], timeout=900)
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), mp_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=_env(), cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"mp worker failed:\n{out[-4000:]}"
+
+    return _load(golden_dir, 1, 0), _load(mp_dir, 2, 0), _load(mp_dir, 2, 1)
+
+
+def test_losses_match_golden(results):
+    golden, p0, p1 = results
+    # replicated global scalar: both processes must read the identical value
+    assert p0["losses"] == p1["losses"]
+    assert p0["post_restore_loss"] == p1["post_restore_loss"]
+    # and the 2-process run must reproduce the single-process math over the
+    # same global batch (bf16 compute; collective impl may reorder sums)
+    np.testing.assert_allclose(p0["losses"], golden["losses"], rtol=2e-2)
+    np.testing.assert_allclose(
+        p0["post_restore_loss"], golden["post_restore_loss"], rtol=2e-2
+    )
+    assert np.all(np.isfinite(golden["losses"]))
+
+
+def test_sanitizers_pass(results):
+    _, p0, p1 = results
+    for r in (p0, p1):
+        assert r["grad_norms_consistent"]
+        assert r["params_in_sync"]
+        assert r["restored_in_sync"]
+
+
+def test_checkpoint_roundtrip(results):
+    golden, p0, p1 = results
+    assert p0["ckpt_name"] == p1["ckpt_name"] == golden["ckpt_name"]
+
+
+def test_eval_areas_reduce_across_processes(results):
+    golden, p0, p1 = results
+    # both processes computed the same reduced (global) areas
+    assert p0["area_intersect_total"] == p1["area_intersect_total"]
+    assert p0["area_label_total"] == p1["area_label_total"]
+    # label areas are data-only: the 2-process shard union must equal the
+    # golden's full set exactly
+    assert p0["area_label_total"] == golden["area_label_total"]
+    assert p0["miou"] == p1["miou"]

@@ -15,7 +15,7 @@ from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh, mesh_from_config, mo
 from ifseg_tpu.parallel.plan import ParallelPlan, plan_from_config
 from ifseg_tpu.models.segofa import SegOFA, SegOFAVariables
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
 
 
 def tiny_cfg(**kw):

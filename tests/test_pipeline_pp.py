@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh
 from ifseg_tpu.parallel.pipeline import gpipe
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
 
 
 def test_gpipe_matches_sequential():

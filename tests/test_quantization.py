@@ -60,3 +60,55 @@ def test_tree_quantization_report():
     back = dequantize_tree(tree)
     np.testing.assert_allclose(np.asarray(back["big"]), 1.0, atol=0.01)
     np.testing.assert_array_equal(np.asarray(back["small"]), 1.0)
+
+
+def test_int8_serving_matches_bf16_argmax():
+    """SegServer(quantize="int8") — weight-only int8 serving (dequantize
+    inside the jitted step) must agree with the unquantized forward on ~all
+    argmax decisions and shrink the weight bytes ~4x (VERDICT r3 item 8;
+    ref quantization_utils.py:143)."""
+    from ifseg_tpu.config import model_config_for_arch
+    from ifseg_tpu.eval.serving import SegServer
+    from ifseg_tpu.models.segofa import SegOFAVariables
+
+    cfg = model_config_for_arch(
+        "segofa_tiny",
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=2,
+        encoder_attention_heads=4, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, decoder_layers=2, decoder_attention_heads=4,
+        resnet_type="resnet50", patch_image_size=64, orig_patch_image_size=64,
+        num_seg_tokens=5, dropout=0.0,
+        encoder_drop_path_rate=0.0, decoder_drop_path_rate=0.0,
+    )
+    model, params = SegOFAVariables.init(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    b = 2
+    src = jnp.asarray(rng.integers(4, 100, size=(b, 8)), jnp.int32)
+    img = jnp.asarray(rng.normal(size=(b, 64, 64, 3)), jnp.float32)
+    bos = jnp.zeros((b, 1), jnp.int32)
+
+    ref = SegServer(model, params, src_len=8)
+    q8 = SegServer(model, params, src_len=8, quantize="int8")
+    assert q8.quant_report["quantized"] > 0
+    assert q8.quant_report["bytes_quant"] < 0.5 * q8.quant_report["bytes_fp32"]
+    # the big weights really are int8 in the served tree
+    n_int8 = sum(
+        1 for leaf in jax.tree_util.tree_leaves(q8.params)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.int8
+    )
+    assert n_int8 == q8.quant_report["quantized"]
+
+    want_logits = np.asarray(ref(src, img, bos), np.float32)
+    got_logits = np.asarray(q8(src, img, bos), np.float32)
+    # random-init tiny logits are nearly tied, so argmax flips are expected
+    # at int8 noise scale; require high-but-not-perfect agreement AND a small
+    # logit perturbation relative to the logit spread (a trained checkpoint
+    # with real margins agrees far more — the serve-time guarantee)
+    agreement = float(
+        np.mean(np.argmax(want_logits, -1) == np.argmax(got_logits, -1))
+    )
+    assert agreement >= 0.9, agreement
+    err = np.abs(got_logits - want_logits).mean()
+    spread = want_logits.std()
+    assert err < 0.1 * spread, (err, spread)

@@ -37,7 +37,7 @@ from ifseg_tpu.models.segofa import SegOFA, SegOFAVariables  # noqa: E402
 
 from test_checkpoint_convert import flax_to_torch_sd  # noqa: E402
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.oracle]
 
 PAD = 1
 
@@ -807,3 +807,77 @@ def test_prompt_kv_oracle_parity():
         want = o_linear(sd, "M.out_proj", attn).transpose(0, 1).numpy()
 
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+# ----------------------------------------- full-dims parity (OFA-Base scale)
+
+
+class ABase(A):
+    """OFA-Base dims (segofa.py:422-431): the scale the real checkpoint runs
+    at — d=768, 12 heads, 6+6 layers, ResNet-101, 1024 image tokens (512px).
+    orig_patch_image_size=384 forces the encoder pos-embed interpolation and
+    the double-bilinear image rel-bias interp (encoder_module.py:358-368,
+    :799-808) on the 24->32 grid, i.e. the exact native-resolution-eval code
+    path real-checkpoint inference exercises."""
+
+    embed_dim = 768
+    ffn_dim = 3072
+    heads = 12
+    layers = 6
+    patch_image_size = 512
+    orig_patch_image_size = 384
+    resnet_layers = (3, 4, 23)  # resnet101
+
+
+def test_full_dims_forward_parity():
+    """One fp32 forward (b=1) at OFA-Base dims vs the torch oracle.
+
+    The toy-dims suite above pins the bias-chain *logic*; this pins the
+    *numerics at scale* (d=768, L=1040, 6+6 layers) where accumulated error
+    or a wrong normalization would hide at embed-32.  Budgeted to a single
+    forward (VERDICT r3 item 2b); ~1e11 FLOPs per side, minutes on one CPU
+    core — 'oracle' tier.
+    """
+    a = ABase()
+    cfg = model_config_for_arch(
+        "segofa_base",
+        patch_image_size=a.patch_image_size,
+        orig_patch_image_size=a.orig_patch_image_size,
+        num_seg_tokens=a.num_seg,
+        scale_resids=True,
+        activation_fn="gelu",
+        dtype="float32",
+        use_flash_attention=False,
+        checkpoint_activations=False,
+        dropout=0.0,
+        attention_dropout=0.0,
+        encoder_drop_path_rate=0.0,
+        decoder_drop_path_rate=0.0,
+    )
+    _, fresh = SegOFAVariables.init(cfg, jax.random.PRNGKey(0))
+    params = randomize(jax.device_get(fresh))
+    sd = flax_to_torch_sd(params)
+    jax_params = convert_torch_state_dict(sd, cfg.vocab_size, reference_params=params)
+    model = SegOFA(cfg)
+
+    rng = np.random.default_rng(7)
+    b, T = 1, 16
+    src = rng.integers(4, 40000, size=(b, T)).astype(np.int32)
+    src[0, 13:] = PAD
+    images = rng.normal(0, 0.5, size=(b, a.patch_image_size, a.patch_image_size, 3)).astype(np.float32)
+    bos = np.zeros((b, 1), np.int32)
+
+    with torch.no_grad():
+        want_logits, want_enc = _run_oracle(sd, a, src, images, bos)
+    got_logits, got_enc = _run_jax(model, jax_params, src, images, bos)
+
+    want_enc_out = want_enc["encoder_out"].transpose(0, 1).numpy()
+    got_enc_out = np.asarray(got_enc["encoder_out"])
+    # fp32 at depth 12 over L=1040: allow accumulated-rounding headroom while
+    # still catching any bias/normalization mistake (those shift logits O(1))
+    np.testing.assert_allclose(got_enc_out, want_enc_out, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(got_logits, want_logits, atol=5e-3, rtol=2e-3)
+    # and the prediction itself must agree everywhere
+    assert np.array_equal(
+        np.argmax(got_logits, axis=-1), np.argmax(want_logits, axis=-1)
+    )

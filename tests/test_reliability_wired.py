@@ -35,6 +35,7 @@ TINY_FLAGS = [
 
 
 @pytest.mark.slow
+@pytest.mark.mesh
 def test_desynced_grad_norms_abort(tmp_path, monkeypatch):
     """A failing cross-host grad-norm check hard-stops the run."""
     import ifseg_tpu.cli.train as cli_train
@@ -48,6 +49,7 @@ def test_desynced_grad_norms_abort(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+@pytest.mark.mesh
 def test_persistent_nonfinite_aborts(tmp_path):
     """A diverging run (NaN grads every step) escalates to FloatingPointError
     after max_consecutive_nonfinite updates instead of spinning forever."""

@@ -5,7 +5,7 @@ import pytest
 
 from ifseg_tpu.data.shm_feed import ShmBatchFeed
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
 
 
 def _make_batch(idx):

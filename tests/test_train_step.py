@@ -17,7 +17,7 @@ from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh
 from ifseg_tpu.train.trainer import Trainer
 from ifseg_tpu.utils import metrics as metrics_lib
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
 
 
 def tiny_config(num_seg=5, image_size=64, update_freq=1, dtype="bfloat16"):

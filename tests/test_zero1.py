@@ -12,6 +12,7 @@ from tests.test_train_step import make_batch, make_class_table, tiny_config
 
 
 @pytest.mark.slow
+@pytest.mark.mesh
 def test_zero1_training_matches_replicated():
     cfg_r = tiny_config(dtype="float32")
     cfg_z = tiny_config(dtype="float32")

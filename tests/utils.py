@@ -32,3 +32,27 @@ def make_seg_tsv(path: str, rows: int = 4, num_seg: int = 3, size=(96, 80), seed
                 seg[y : y + dy, x : x + dx] = rng.integers(0, num_seg + 1)
             fp.write(f"{png_b64(img)}\t{png_b64(seg)}\t{i}\n")
     return path
+
+
+def make_solid_seg_tsv(path: str, num_seg: int = 3, rows_per_class: int = 3,
+                       size=(48, 48)):
+    """Solid-color rows: class k <-> a saturated color; the mask is class k
+    everywhere (pre-shift TSV encoding: v = class v-1, so write k+1).  A
+    supervised run must learn color -> class to high mIoU — the learnability
+    gate (VERDICT r3 item 2a)."""
+    colors = [
+        (255, 40, 40), (40, 255, 40), (40, 40, 255),
+        (255, 255, 40), (255, 40, 255), (40, 255, 255),
+    ]
+    assert num_seg <= len(colors)
+    h, w = size
+    i = 0
+    with open(path, "w") as fp:
+        for k in range(num_seg):
+            img = np.zeros((h, w, 3), np.uint8)
+            img[:] = colors[k]
+            seg = np.full((h, w), k + 1, np.uint8)
+            for _ in range(rows_per_class):
+                fp.write(f"{png_b64(img)}\t{png_b64(seg)}\t{i}\n")
+                i += 1
+    return path
