@@ -48,6 +48,21 @@ def main(cfg: Config) -> None:
     mesh = mesh_from_config(cfg.distributed)
     logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
+    # image-free fast path: with no real-batch monitoring, the step consumes
+    # only the synthetic grid — skip real image decode + augs on the host
+    # (the pipeline cost per row collapses ~50x; see
+    # tools/bench_input_pipeline.py --image-free)
+    if (
+        cfg.criterion.unsupervised_segmentation
+        and not cfg.criterion.monitor_real_batch
+        and cfg.task.artificial_image_type.startswith("rand_k")
+    ):
+        cfg.task.decode_real_images = False
+        logger.info(
+            "image-free fast path: real images are never decoded "
+            "(--monitor-real-batch=true to restore the monitoring forward)"
+        )
+
     task = SegmentationTask.setup_task(cfg)
     train_ds = task.load_dataset("train", epoch=1)
     task.load_dataset("valid")
@@ -258,21 +273,35 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
         # one-batch device prefetch: the host->device upload of batch i+1
         # overlaps step i's compute (device_put is async)
         batch_iter = iter(progress)
-        try:
-            pending = trainer.prepare_batch(next(batch_iter))
-        except StopIteration:
-            pending = None
+        # data-stall accounting: time spent waiting on the host pipeline
+        # (TSV -> augs -> collate -> upload).  With the prefetch thread ahead
+        # of the device this is ~0; sustained waits mean the input pipeline
+        # can't feed the step (the reference's BufferedIterator has no such
+        # counter — stalls there are invisible, iterators.py:551-641)
+        data_wait = 0.0
+        data_stalls = 0
+
+        def fetch():
+            nonlocal data_wait, data_stalls
+            t0 = time.perf_counter()
+            try:
+                out = trainer.prepare_batch(next(batch_iter))
+            except StopIteration:
+                return None
+            w = time.perf_counter() - t0
+            data_wait += w
+            if w > 0.005:  # >5 ms: the step had to wait on data
+                data_stalls += 1
+            return out
+
+        pending = fetch()
         i = -1
         # seed with the restored counter so a resume (or an immediate skip
         # streak) never re-saves the checkpoint it just loaded
         last_interval_save = trainer.get_num_updates()
         while pending is not None:
             i += 1
-            current, pending = pending, None
-            try:
-                pending = trainer.prepare_batch(next(batch_iter))
-            except StopIteration:
-                pass
+            current, pending = pending, fetch()
             with timer, span(f"train_step-{i}"):
                 logs = trainer.train_step(current)
             heartbeat.beat()
@@ -311,6 +340,12 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
                 host_logs = [jax.device_get(l) for l in logs_buffer]
                 task.reduce_metrics(host_logs)
                 logs_buffer.clear()
+                metrics_lib.log_scalar(
+                    "data_wait_ms",
+                    1e3 * data_wait / max(len(host_logs), 1), round=2,
+                )
+                metrics_lib.log_scalar_sum("data_stalls", data_stalls)
+                data_wait, data_stalls = 0.0, 0
                 progress.log(agg.get_smoothed_values(), step=trainer.get_num_updates())
                 # sanitizers at log cadence (the reference runs its grad-norm
                 # cross-rank check every step, trainer.py:1408-1445; here the

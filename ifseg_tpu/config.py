@@ -215,6 +215,14 @@ class TaskConfig:
     uses_ema: bool = False
     # >0: multi-process shared-memory feed (reference --num-workers)
     num_workers: int = 0
+    # image-free fast path: when training is unsupervised AND the real-batch
+    # monitoring forward is off, the real image/mask are never consumed by
+    # the step — skip their base64/PNG decode and the mmseg aug chain
+    # entirely (the host pipeline cost collapses to the grid synthesis).
+    # Auto-wired by cli/train from the criterion flags; the reference has no
+    # analog (it always decodes, even though "training never reads the
+    # images" — segmentation_dataset.py:210-251 runs unconditionally).
+    decode_real_images: bool = True
 
     @property
     def categories(self) -> List[str]:

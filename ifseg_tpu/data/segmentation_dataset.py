@@ -81,11 +81,13 @@ def build_class_token_table(bpe, dictionary, categories: List[str]):
 class SegBatch:
     """Fixed-shape training batch (numpy, NHWC)."""
 
-    patch_images: np.ndarray  # (B, s, s, 3) fp32 normalized RGB
+    # patch_images/target/downsampled_target are None on the image-free fast
+    # path (decode_real_images=False): the step never reads them
+    patch_images: Optional[np.ndarray]  # (B, s, s, 3) fp32 normalized RGB
     src_tokens: np.ndarray  # (B, L) int32
     bos_tokens: np.ndarray  # (B, 1) int32
-    target: np.ndarray  # (B, s, s) int32 class ids (augmented gt)
-    downsampled_target: np.ndarray  # (B, (s/16)^2) int32
+    target: Optional[np.ndarray]  # (B, s, s) int32 class ids (augmented gt)
+    downsampled_target: Optional[np.ndarray]  # (B, (s/16)^2) int32
     aux_grid_ids: Optional[np.ndarray]  # (B, (s/16)^2) int32
     aux_target: Optional[np.ndarray]  # (B, s, s) int32
     ids: np.ndarray  # (B,)
@@ -162,6 +164,15 @@ class SegmentationDataset:
             else:
                 self.rand_l, self.rand_r = 1, 33
 
+        # image-free fast path (see TaskConfig.decode_real_images): only for
+        # rand_k grids (they carry their own pixel target); norand_k derives
+        # its target from the real mask, so it still decodes
+        self.skip_real_images = (
+            split == "train"
+            and not cfg.decode_real_images
+            and self.artificial_image_type.startswith("rand_k")
+        )
+
     def __len__(self):
         return len(self.dataset)
 
@@ -203,6 +214,17 @@ class SegmentationDataset:
         return grid_ids, target
 
     def get_train_example(self, index: int, rng: np.random.Generator) -> Dict[str, Any]:
+        if self.skip_real_images:
+            # image-free fast path: the TSV row is read (iterator position /
+            # resume semantics unchanged) but the base64 payloads are never
+            # decoded and the aug chain never runs
+            uniq_id = self.dataset[index][2]
+            grid_ids, aux_target = self._artificial_grid(rng)
+            return {
+                "id": uniq_id,
+                "aux_grid_ids": grid_ids,
+                "aux_target": aux_target,
+            }
         img_bgr, seg, uniq_id = self._decode_row(index)
         img_bgr, seg = self.resize(img_bgr, seg, rng)
         img_bgr, seg = self.crop(img_bgr, seg, rng)
@@ -244,15 +266,21 @@ class SegmentationDataset:
         b = len(examples)
         stack = lambda k: np.stack([e[k] for e in examples])
         has_aux = "aux_grid_ids" in examples[0]
+        has_real = "patch_image" in examples[0]  # False on the fast path
         return SegBatch(
-            patch_images=stack("patch_image"),
+            patch_images=stack("patch_image") if has_real else None,
             src_tokens=np.tile(self.src_item[None], (b, 1)),
             bos_tokens=np.full((b, 1), self.dict.bos(), np.int32),
-            target=stack("target"),
-            downsampled_target=stack("downsampled_target"),
+            target=stack("target") if has_real else None,
+            downsampled_target=stack("downsampled_target") if has_real else None,
             aux_grid_ids=stack("aux_grid_ids") if has_aux else None,
             aux_target=stack("aux_target") if has_aux else None,
             ids=np.asarray([e["id"] for e in examples]),
             nsentences=b,
-            ntokens=int(sum(e["target"].size + 1 for e in examples)),
+            ntokens=int(
+                sum(
+                    (e["target"] if has_real else e["aux_target"]).size + 1
+                    for e in examples
+                )
+            ),
         )

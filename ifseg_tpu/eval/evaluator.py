@@ -32,6 +32,14 @@ logger = logging.getLogger(__name__)
 
 BUCKET = 256  # pixel granularity of shape buckets
 ROW_CHUNK = 128  # original-resolution rows upsampled per scan step
+# HBM budget for one vmapped eval group.  Eval biases are PER-SAMPLE (the
+# valid extents differ row to row), so a group costs ~heads * Ltok^2 * 4B *
+# ~18 live bias-sized buffers per sample (bias chains + double-interp
+# intermediates; forward-only, no remat).  Calibrated on v5e-1 (16G): batch 8
+# at the (512,768) bucket = L~1576 used 17.6G -> ~2.2G/sample.
+EVAL_MEM_BUDGET = float(
+    __import__("os").environ.get("IFSEG_EVAL_MEM_BUDGET", 11e9)
+)
 
 
 def _bucket(n: int) -> int:
@@ -174,6 +182,14 @@ class Evaluator:
 
     # ----------------------------------------------------------------- driver
 
+    def _max_group_rows(self, Hb: int, Wb: int) -> int:
+        """Largest vmapped batch the HBM budget allows at this image bucket
+        (per-sample cost model documented at EVAL_MEM_BUDGET)."""
+        heads = self.cfg.model.encoder_attention_heads
+        ltok = (Hb // 16) * (Wb // 16) + 64  # image tokens + text headroom
+        per_sample = heads * float(ltok) ** 2 * 4 * 18
+        return max(int(EVAL_MEM_BUDGET / per_sample), 1)
+
     def _run_group(self, params, samples) -> Dict[str, jax.Array]:
         """Run a group of samples that share (image-bucket, target-bucket) —
         NOT necessarily exact shapes — as ONE padded vmapped forward.  Short
@@ -285,8 +301,16 @@ class Evaluator:
         outs = []
 
         def run(samples):
-            group_sizes.append(len(samples))
-            outs.append(self._run_group(params, samples))
+            # memory-aware split: large buckets cap the vmapped rows below
+            # --batch-size-valid (per-sample bias cost grows with Ltok^2)
+            cap = self._max_group_rows(
+                _bucket(max(s.patch_image.shape[0] for s in samples)),
+                _bucket(max(s.patch_image.shape[1] for s in samples)),
+            )
+            for i in range(0, len(samples), cap):
+                sub = samples[i : i + cap]
+                group_sizes.append(len(sub))
+                outs.append(self._run_group(params, sub))
 
         while True:
             sample = q.get()

@@ -47,8 +47,8 @@ def test_supervised_cli_learns_solid_colors(tmp_path):
             "--orig-patch-image-size=32",
             "--batch-size=4",
             "--data-parallel=2",
-            "--max-epoch=12",
-            "--lr=2e-3",
+            "--max-epoch=15",
+            "--lr=3e-3",
             "--dropout=0.0",
             "--encoder-drop-path-rate=0.0",
             "--decoder-drop-path-rate=0.0",

@@ -48,11 +48,15 @@ def make_solid_seg_tsv(path: str, num_seg: int = 3, rows_per_class: int = 3,
     h, w = size
     i = 0
     with open(path, "w") as fp:
-        for k in range(num_seg):
-            img = np.zeros((h, w, 3), np.uint8)
-            img[:] = colors[k]
-            seg = np.full((h, w), k + 1, np.uint8)
-            for _ in range(rows_per_class):
+        # INTERLEAVE classes: the train iterator serves contiguous batches in
+        # file order (reference sequential-sampler semantics,
+        # tasks/ofa_task.py:121-165), so class-sorted rows would make every
+        # batch single-class and the optimization oscillate instead of learn
+        for _ in range(rows_per_class):
+            for k in range(num_seg):
+                img = np.zeros((h, w, 3), np.uint8)
+                img[:] = colors[k]
+                seg = np.full((h, w), k + 1, np.uint8)
                 fp.write(f"{png_b64(img)}\t{png_b64(seg)}\t{i}\n")
                 i += 1
     return path
