@@ -107,6 +107,8 @@ _, grads = loss_grad(params, batch, key)
 t_opt = timed("optimizer (clip+adam+ema)", opt_jit, params,
               trainer.state.opt_state, grads)
 t_mon = timed("monitor fwd", monitor, params, batch)
+logs = trainer.train_step(batch)  # compile + warm
+float(np.asarray(logs["loss"]))
 t0 = time.perf_counter()
 iters = 8
 for _ in range(iters):
