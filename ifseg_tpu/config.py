@@ -135,8 +135,14 @@ class ModelConfig:
     # remat policy under checkpoint_activations: 'full' recomputes the whole
     # layer in backward; 'save-attn' additionally saves each attention
     # kernel's output (~26 MB/layer at OFA-Base 512px) so the backward never
-    # re-runs the flash forward kernels
-    remat_policy: str = "save-attn"
+    # re-runs the flash forward kernels; 'save-attn-ffn' also saves the
+    # post-gelu FFN activations.  'auto' (default) lets the Trainer resolve
+    # per run from an explicit HBM bytes model
+    # (train.trainer.resolve_remat_policy): remat OFF when the full
+    # activation set fits the chip with margin (measured 0.279 vs 0.293
+    # s/step at OFA-Base 512px batch 16), save-attn otherwise; forward-only
+    # paths treat 'auto' as save-attn (no recompute exists without grad)
+    remat_policy: str = "auto"
 
     @property
     def head_dim(self) -> int:

@@ -251,9 +251,14 @@ class Decoder(nn.Module):
 
         enc_pad = encoder_out["encoder_padding_mask"]
         # structure-aware backward: the (1+sb²)² seg-bias gather's scatter-add
-        # transpose was ~20 ms/step of sort-based reduction at 512px
+        # transpose was ~20 ms/step of sort-based reduction at 512px.  On the
+        # identity-interp path the expansion is emitted in compute dtype
+        # (exact; halves the (nl, H, L, L) fp32 HBM round-trip — see
+        # position.gather_grid_bias_all_layers); fp32 when interp follows
+        ident_interp = valid_hw is None and (sb, sb) == (h, w)
         seg_all = gather_grid_bias_all_layers(
-            self.seg_rel_pos_table, seg_bucket, (sb, sb), bos=True
+            self.seg_rel_pos_table, seg_bucket, (sb, sb), bos=True,
+            dtype=cfg_dtype(cfg) if ident_interp else jnp.float32,
         )
         prompt_all = self._prompt_kv_all(deterministic)
 
@@ -284,7 +289,7 @@ class Decoder(nn.Module):
             # _run_layers): identity seg interpolation at the native 32x32
             # grid makes the pack a single (nl, H, L, L) broadcast-add
             nl = len(self.layers)
-            if valid_hw is None and (sb, sb) == (h, w):
+            if ident_interp:
                 seg_interp_all = seg_all
             else:
                 seg_interp_all = jnp.stack([
@@ -293,7 +298,12 @@ class Decoder(nn.Module):
                     else interp_seg_bias_with_bos_mats(seg_all[i], ah, aw, (sb, sb))
                     for i in range(nl)
                 ])
-            pack = (self_bias0[None] + seg_interp_all).astype(cfg_dtype(cfg))
+            # components cast before the add so the (nl, H, L, L) tree runs
+            # in compute dtype end-to-end (see Encoder _run_layers)
+            pack = (
+                self_bias0[None].astype(cfg_dtype(cfg))
+                + seg_interp_all.astype(cfg_dtype(cfg))
+            )
             for i, layer in enumerate(self.layers):
                 y = layer(
                     x, enc, enc_pad, pack[i], cross_bias,

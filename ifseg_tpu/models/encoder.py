@@ -51,6 +51,12 @@ def _remat_policy(cfg: "ModelConfig"):
     each attention kernel's output (tagged 'attn_out' in attention.py) so the
     backward recomputes only matmuls/LNs, never the flash kernels."""
     policy = getattr(cfg, "remat_policy", "full")
+    if policy == "auto":
+        # unresolved 'auto' (a path that never went through
+        # train.trainer.resolve_remat_policy, e.g. eval-only construction):
+        # fall back to the safe save-attn policy — forward-only callers
+        # never pay recompute anyway
+        policy = "save-attn"
     # 'attn_lse' rides along with the kernel output: the flash backward
     # rebuilds p from the saved row logsumexp (ops/flash_attention._fwd)
     if policy == "save-attn":
@@ -301,11 +307,18 @@ class Encoder(nn.Module):
             )
             # one fused gather for every layer, with the structure-aware
             # backward (delta-class contraction instead of sort-based
-            # scatter-add; see position.gather_grid_bias_all_layers)
+            # scatter-add; see position.gather_grid_bias_all_layers).  On the
+            # identity-interp path (512px train/infer) the expansion is
+            # emitted directly in compute dtype — exact, and it halves the
+            # ~300 MB fp32 (nl, H, hw, hw) HBM round-trip; when bilinear
+            # interp follows, stay fp32 so the interp matmuls keep fp32
+            # operands (real-checkpoint bias numerics)
+            ident_interp = tuple(rel_bias_grid_hw) == tuple(image_hw)
             img_all = gather_grid_bias_all_layers(
-                self.image_rel_pos_table, image_bucket, rel_bias_grid_hw
+                self.image_rel_pos_table, image_bucket, rel_bias_grid_hw,
+                dtype=cfg_dtype(cfg) if ident_interp else jnp.float32,
             )
-            if tuple(rel_bias_grid_hw) == tuple(image_hw):
+            if ident_interp:
                 img_all_interp = img_all  # identity interp (512px train/infer)
 
             def img_bias_fn(i):
@@ -341,16 +354,21 @@ class Encoder(nn.Module):
                 img_all_interp = jnp.stack([img_bias_fn(i) for i in range(nl)])
             # pack dtype = compute dtype: bf16 under bf16 training halves the
             # dominant bias HBM traffic (build + per-layer kernel reads +
-            # dbias) and matches the reference's fp16 bias precision; the add
-            # happens fp32 so the astype backward upcasts the cotangent
-            # before the gather scatter-add into the tables
+            # dbias) and matches the reference's fp16 bias precision.  Each
+            # component is cast BEFORE the adds so the whole (nl, H, L, L)
+            # add tree runs in compute dtype (no fp32 intermediates); each
+            # astype's vjp upcasts its branch cotangent to fp32 before the
+            # gather scatter-add into the tables, so table-grad accumulation
+            # stays fp32 exactly as before
+            cd = cfg_dtype(cfg)
             pack = (
-                bias0[None]
-                + jnp.pad(tok_all, ((0, 0), (0, 0), (hw, 0), (hw, 0)))
+                bias0[None].astype(cd)
+                + jnp.pad(tok_all.astype(cd), ((0, 0), (0, 0), (hw, 0), (hw, 0)))
                 + jnp.pad(
-                    img_all_interp, ((0, 0), (0, 0), (0, src_len), (0, src_len))
+                    img_all_interp.astype(cd),
+                    ((0, 0), (0, 0), (0, src_len), (0, src_len)),
                 )
-            ).astype(cfg_dtype(cfg))
+            )
             for i, layer in enumerate(self.layers):
                 y = layer(
                     x, padding_mask, pack[i], deterministic,

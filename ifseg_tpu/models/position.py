@@ -147,9 +147,17 @@ def gather_rel_bias_all_layers(table, rp_bucket) -> jnp.ndarray:
 _GRID_GATHER_CACHE = {}
 
 
-def _build_grid_gather(rp: np.ndarray, h: int, w: int, bos: bool):
-    """Returns a custom-vjp fn table -> (layers, H, L, L), or None if the
-    bucket matrix has no (Δr, Δc) structure."""
+def _build_grid_gather(rp: np.ndarray, h: int, w: int, bos: bool,
+                       dtype=jnp.float32):
+    """Returns a custom-vjp fn table -> (layers, H, L, L) in ``dtype``, or
+    None if the bucket matrix has no (Δr, Δc) structure.
+
+    ``dtype=bfloat16`` emits the expanded bias directly in compute precision:
+    the forward expansion is exact in any dtype (every output element is a
+    single one-hot product of a table value), the consumer converts to bf16
+    anyway, and the fp32 intermediates otherwise cost ~300 MB of HBM traffic
+    per expansion at 512px.  The backward keeps fp32 accumulation and returns
+    an fp32 table gradient regardless of ``dtype``."""
     import jax
 
     off = 1 if bos else 0
@@ -189,17 +197,17 @@ def _build_grid_gather(rp: np.ndarray, h: int, w: int, bos: bool):
         layers, num_rel, heads = table.shape
         f = layers * heads
         cat_t = jnp.transpose(table, (0, 2, 1)).reshape(f, num_rel)
-        cat_t = cat_t.astype(jnp.float32)
+        cat_t = cat_t.astype(dtype)
         tm = jnp.take(cat_t, jnp.asarray(m.ravel()), axis=1).reshape(
             f, 2 * h - 1, 2 * w - 1
         )
         t1 = jnp.einsum(
-            "fkm,cdm->fkcd", tm, jnp.asarray(ew),
-            preferred_element_type=jnp.float32,
+            "fkm,cdm->fkcd", tm, jnp.asarray(ew, dtype),
+            preferred_element_type=dtype,
         )
         grid = jnp.einsum(
-            "fkcd,rsk->frscd", t1, jnp.asarray(eh),
-            preferred_element_type=jnp.float32,
+            "fkcd,rsk->frscd", t1, jnp.asarray(eh, dtype),
+            preferred_element_type=dtype,
         )  # (F, r1, r2, c1, c2)
         grid = grid.transpose(0, 1, 3, 2, 4).reshape(f, h * w, h * w)
         if bos:
@@ -228,19 +236,22 @@ def _build_grid_gather(rp: np.ndarray, h: int, w: int, bos: bool):
         return _expand(table), table.shape
 
     def bwd(shape, dv):
+        # fp32 accumulation from the (possibly bf16) cotangent: the first
+        # contraction reads the big (F, L, L) tensor in its native dtype
+        # (halving HBM traffic under bf16) while every sum accumulates fp32
         layers, num_rel, heads = shape
         f = layers * heads
-        dfl = dv.astype(jnp.float32).reshape(f, l1, l1)
+        dfl = dv.reshape(f, l1, l1)
         if bos:
-            d00 = dfl[:, 0, 0]
-            drow = jnp.sum(dfl[:, 0, 1:], axis=-1)
-            dcol = jnp.sum(dfl[:, 1:, 0], axis=-1)
+            d00 = dfl[:, 0, 0].astype(jnp.float32)
+            drow = jnp.sum(dfl[:, 0, 1:], axis=-1, dtype=jnp.float32)
+            dcol = jnp.sum(dfl[:, 1:, 0], axis=-1, dtype=jnp.float32)
             dfl = dfl[:, 1:, 1:]
         dg = dfl.reshape(f, h, w, h, w)
         s1 = jnp.einsum(
-            "frcsd,rsk->fkcd", dg, jnp.asarray(eh),
+            "frcsd,rsk->fkcd", dg, jnp.asarray(eh, dfl.dtype),
             preferred_element_type=jnp.float32,
-        )  # (F, 2h-1, w, w)
+        )  # (F, 2h-1, w, w) fp32
         s2 = jnp.einsum(
             "fkcd,cdm->fkm", s1, jnp.asarray(ew),
             preferred_element_type=jnp.float32,
@@ -264,20 +275,24 @@ def _build_grid_gather(rp: np.ndarray, h: int, w: int, bos: bool):
     return fn
 
 
-def gather_grid_bias_all_layers(table, rp_bucket, grid_hw, bos=False):
+def gather_grid_bias_all_layers(table, rp_bucket, grid_hw, bos=False,
+                                dtype=jnp.float32):
     """gather_rel_bias_all_layers for 2-D grid buckets (optionally with a
-    leading BOS/CLS slot), with the structure-aware backward above."""
+    leading BOS/CLS slot), with the structure-aware backward above.  The
+    expanded bias is emitted in ``dtype`` (exact — see _build_grid_gather);
+    the table gradient stays fp32."""
     import hashlib
 
     rp = np.asarray(rp_bucket)
     h, w = grid_hw
-    key = (h, w, bool(bos),
+    dtype = jnp.dtype(dtype)
+    key = (h, w, bool(bos), dtype.name,
            hashlib.sha1(np.ascontiguousarray(rp).tobytes()).hexdigest())
     if key not in _GRID_GATHER_CACHE:
-        _GRID_GATHER_CACHE[key] = _build_grid_gather(rp, h, w, bos)
+        _GRID_GATHER_CACHE[key] = _build_grid_gather(rp, h, w, bos, dtype)
     fn = _GRID_GATHER_CACHE[key]
     if fn is None:  # no delta structure: plain gather (scatter-add backward)
-        return gather_rel_bias_all_layers(table, rp)
+        return gather_rel_bias_all_layers(table, rp).astype(dtype)
     return fn(table)
 
 

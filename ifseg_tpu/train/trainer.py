@@ -44,6 +44,98 @@ from ifseg_tpu.train.ema import ema_init, ema_step
 
 logger = logging.getLogger(__name__)
 
+# approximate trainable-parameter counts for the ResNet stems (conv + head
+# projections; models/resnet.py) — only used by the remat bytes model below
+_RESNET_PARAMS = {"resnet50": 24e6, "resnet101": 43e6, "resnet152": 58e6}
+
+
+def estimate_train_hbm_bytes(model_cfg, per_chip_microbatch: int,
+                             ema: bool = False) -> float:
+    """Explicit HBM bytes model for one train step WITHOUT rematerialization
+    (all layer activations live until the backward).
+
+    Components:
+      fixed   params + Adam m/v + grads, fp32 (4 copies; +1 under EMA)
+      packs   the two all-layer (nl, H, L, L) bf16 bias packs plus their
+              fp32 dbias cotangents (transient but peak-coincident)
+      acts    ~13 d-width activation slots per transformer layer per token
+              in bf16 (x, q/k/v, attn out, two LN outputs, 4d FFN hidden
+              counted as 4, fc2 out, residual adds) — calibrated against
+              the measured fit boundary (OFA-Base 512px: batch 16 fits one
+              16 GB v5e, batch 64 OOMs)
+
+    Used by resolve_remat_policy; deliberately conservative (no XLA temp
+    modeling) — callers compare against a fraction of the chip's HBM."""
+    m = model_cfg
+    d = m.encoder_embed_dim
+    dd = m.decoder_embed_dim
+    nl_e, nl_d = m.encoder_layers, m.decoder_layers
+    hw = (m.patch_image_size // 16) ** 2
+    l_tok = hw + 96  # image grid + text/src tokens (+BOS, rounded up)
+
+    n_params = (
+        60e3 * d  # embeddings (vocab + seg tables)
+        + _RESNET_PARAMS.get(getattr(m, "resnet_type", "resnet101"), 43e6)
+        + nl_e * 12 * d * d
+        + nl_d * 16 * dd * dd  # incl. cross-attention
+    )
+    fixed = n_params * 4.0 * (4 + (1 if ema else 0))
+
+    heads = m.encoder_attention_heads
+    pack = 2 * (nl_e * heads * l_tok * l_tok * 2)  # enc + dec bf16 packs
+    dbias = 2 * (nl_e * heads * l_tok * l_tok * 4)  # fp32 cotangents (peak)
+
+    acts = (
+        (nl_e * d + nl_d * dd) * l_tok * 13 * 2 * per_chip_microbatch
+    )
+    return fixed + pack + dbias + acts
+
+
+def resolve_remat_policy(cfg: Config, n_data_shards: int = 1,
+                         hbm_bytes: Optional[float] = None) -> None:
+    """Resolve cfg.model.remat_policy == 'auto' in place before model build.
+
+    Rematerialization trades ~5% step time (measured: 0.279 vs 0.293 s/step
+    at OFA-Base 512px batch 16, one v5e chip) for activation memory.  When
+    the estimated no-remat footprint fits in 72% of the chip's HBM, turn
+    checkpoint_activations OFF; otherwise keep it on with the save-attn
+    policy.  Only the image-free (unsupervised) loss path qualifies — the
+    supervised branch backprops through the ResNet stem, whose activations
+    the bytes model deliberately does not cover.
+    """
+    m = cfg.model
+    if getattr(m, "remat_policy", None) != "auto":
+        return
+    m.remat_policy = "save-attn"
+    if not m.checkpoint_activations:
+        return
+    if not cfg.criterion.unsupervised_segmentation:
+        return
+    ufreq = max(cfg.optimization.update_freq, 1)
+    per_chip = max(
+        cfg.optimization.batch_size // max(n_data_shards, 1) // ufreq, 1
+    )
+    if hbm_bytes is None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm_bytes = float(stats.get("bytes_limit", 16e9))
+        except Exception:
+            hbm_bytes = 16e9
+    est = estimate_train_hbm_bytes(m, per_chip, ema=cfg.task.uses_ema)
+    if est < 0.72 * hbm_bytes:
+        m.checkpoint_activations = False
+        logger.info(
+            "remat auto: OFF — estimated %.1f GB no-remat footprint fits "
+            "%.1f GB HBM (per-chip microbatch %d)",
+            est / 1e9, hbm_bytes / 1e9, per_chip,
+        )
+    else:
+        logger.info(
+            "remat auto: save-attn — estimated %.1f GB no-remat footprint "
+            "exceeds 72%% of %.1f GB HBM (per-chip microbatch %d)",
+            est / 1e9, hbm_bytes / 1e9, per_chip,
+        )
+
 
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
@@ -69,6 +161,11 @@ class Trainer:
         from ifseg_tpu.parallel.plan import plan_from_config
 
         self.plan = plan_from_config(cfg.distributed, self.mesh)
+        resolve_remat_policy(
+            cfg,
+            n_data_shards=self.mesh.shape.get("data", 1)
+            * self.mesh.shape.get("fsdp", 1),
+        )
         self.model = SegOFA(cfg.model, plan=self.plan)
         # class tables are replicated constants: committing the sharding here
         # avoids an XLA "involuntary full rematerialization" transition when

@@ -173,3 +173,63 @@ def test_grid_gather_backward_matches_plain():
         np.testing.assert_allclose(
             np.asarray(g_new), np.asarray(g_old), rtol=1e-5, atol=1e-5
         )
+
+
+def test_grid_gather_bf16_emission_exact():
+    """dtype=bfloat16 emission must equal the fp32 expansion cast to bf16
+    elementwise (each output element is a single one-hot product of a table
+    value, so the expansion is exact in any dtype), and the table gradient
+    must stay fp32 with fp32 accumulation."""
+    import jax
+    import jax.numpy as jnp
+    from ifseg_tpu.models.position import (
+        gather_grid_bias_all_layers,
+        image_num_rel_dis,
+        image_rp_bucket_for_grid,
+        make_image_bucket_position,
+    )
+
+    rng = np.random.default_rng(1)
+    cases = [
+        (image_rp_bucket_for_grid(4, 4, 8), (4, 4), False, image_num_rel_dis(8)),
+        (make_image_bucket_position(4, 7 * 7 + 3), (4, 4), True, 7 * 7 + 3),
+    ]
+    for rp, hw, bos, num_rel in cases:
+        table = jnp.asarray(
+            rng.standard_normal((3, num_rel, 2)).astype(np.float32)
+        )
+        f32 = gather_grid_bias_all_layers(table, rp, hw, bos=bos)
+        b16 = gather_grid_bias_all_layers(
+            table, rp, hw, bos=bos, dtype=jnp.bfloat16
+        )
+        assert b16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(f32.astype(jnp.bfloat16)), np.asarray(b16)
+        )
+
+        cot16 = jnp.asarray(
+            rng.standard_normal((3, 2) + rp.shape).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+        def loss16(t):
+            return jnp.vdot(
+                gather_grid_bias_all_layers(
+                    t, rp, hw, bos=bos, dtype=jnp.bfloat16
+                ).astype(jnp.float32),
+                cot16.astype(jnp.float32),
+            )
+
+        def loss32(t):
+            return jnp.vdot(
+                gather_grid_bias_all_layers(t, rp, hw, bos=bos),
+                cot16.astype(jnp.float32),
+            )
+
+        g16 = jax.grad(loss16)(table)
+        g32 = jax.grad(loss32)(table)
+        assert g16.dtype == jnp.float32
+        # same bf16-quantized cotangent on both sides; the bf16 path reads it
+        # natively but accumulates fp32, so grads agree to bf16 read-off error
+        np.testing.assert_allclose(
+            np.asarray(g16), np.asarray(g32), rtol=2e-2, atol=2e-2
+        )
