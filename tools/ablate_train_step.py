@@ -107,6 +107,11 @@ _, grads = loss_grad(params, batch, key)
 t_opt = timed("optimizer (clip+adam+ema)", opt_jit, params,
               trainer.state.opt_state, grads)
 t_mon = timed("monitor fwd", monitor, params, batch)
+# free the component executables AND their live outputs before timing the
+# shipped step: a held fp32 grad tree (~0.7 GB) plus four resident
+# executables crowd HBM enough to double the full-step time (measured 615
+# vs bench.py's 293 ms in a clean process)
+del grads, loss_fwd, loss_grad, opt_jit, monitor
 logs = trainer.train_step(batch)  # compile + warm
 float(np.asarray(logs["loss"]))
 t0 = time.perf_counter()
