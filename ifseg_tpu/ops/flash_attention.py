@@ -624,13 +624,76 @@ def _fwd_packed(q, k, v, bias, key_padding_mask, causal, num_heads):
 
 # Backward implementation, A/B-measured on v5e at the reference train config
 # (OFA-Base, 512px, batch 16, one-hot CE, uploads overlapped; README table):
-#   remat + pallas   0.61 s/step   <- default (streaming kernels, no
-#                                     (B,H,Lq,Lk) HBM logits tensor)
-#   remat + xla      0.70 s/step   (einsum recompute; materializes fp32
-#                                     logits under remat)
+#   remat + pallas      streaming kernels, no (B,H,Lq,Lk) HBM logits tensor;
+#                       7 block-matmuls per site (each of the dq and dkv
+#                       kernels re-derives p and dp)
+#   remat + xla_stats   5 plain einsums from the SAVED (out, lse): p/dlogits
+#                       are materialized bf16 (~27 MB/site) once and the big
+#                       dq/dk/dv contractions run as stock XLA matmuls
+#   remat + xla         full einsum softmax recompute (no saved stats);
+#                       measured 0.70 vs 0.61 s/step in round 2 — kept only
+#                       as the no-stats fallback
 import os as _os
 
 BACKWARD_IMPL = _os.environ.get("IFSEG_FLASH_BACKWARD", "pallas")
+
+
+def _xla_stats_backward(q, k, v, bias, key_padding_mask, causal, g, out, lse,
+                        num_heads=None):
+    """Attention backward as five stock XLA einsums from the saved stats.
+
+    Exactly the kernels' math: p = exp(q@k^T + bias + mask - lse) with the
+    SAVED row logsumexp, di = rowsum(g*out) from the SAVED output, then
+      dp = g @ v^T,   dlogits = p * (dp - di)
+      dq = dlogits @ k,   dk = dlogits^T @ q,   dv = p^T @ g
+      dbias = sum_b dlogits   (fp32 accumulation)
+    FLOP-optimal (5 matmuls vs the two streaming kernels' 7 — both re-derive
+    p and dp) at the cost of materializing p/dlogits in HBM at the compute
+    dtype.  At OFA-Base train shapes that is ~27 MB per (B,H,Lq,Lk) tensor
+    per site (~0.2 ms of HBM traffic) against two saved 27 GFLOP matmuls.
+    """
+    b, h, lq, lk, d, packed, hb = _shapes(q, k, num_heads)
+    if packed:
+        to4 = lambda t, ln: t.reshape(b, ln, h, d).transpose(0, 2, 1, 3)
+        q4, k4, v4 = to4(q, lq), to4(k, lk), to4(v, lk)
+        g4, o4 = to4(g, lq), to4(out, lq)
+    else:
+        q4, k4, v4, g4, o4 = q, k, v, g, out
+    # lse (B, H/hb, Lq, hb) -> (B, H, Lq); head order within a group is the
+    # lane order the forward kernel wrote (head = h_grp*hb + j)
+    lse_h = lse.transpose(0, 1, 3, 2).reshape(b, h, lq)
+    cdt = q4.dtype
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q4, k4,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits += bias[None].astype(jnp.float32)
+    if key_padding_mask is not None:
+        logits += _mask_to_additive(key_padding_mask)[:, None]  # (B,1,1,Lk)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+        logits = jnp.where((cols > rows + (lk - lq))[None, None], NEG_INF,
+                           logits)
+    p32 = jnp.exp(logits - lse_h[..., None])
+    di = jnp.sum(g4.astype(jnp.float32) * o4.astype(jnp.float32), axis=-1)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g4, v4,
+                    preferred_element_type=jnp.float32)
+    dl32 = p32 * (dp - di[..., None])
+    p, dl = p32.astype(cdt), dl32.astype(cdt)
+    dq4 = jnp.einsum("bhqk,bhkd->bhqd", dl, k4,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    dk4 = jnp.einsum("bhqk,bhqd->bhkd", dl, q4,
+                     preferred_element_type=jnp.float32).astype(k.dtype)
+    dv4 = jnp.einsum("bhqk,bhqd->bhkd", p, g4,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    db = None
+    if bias is not None:
+        db = jnp.sum(dl32, axis=0).astype(bias.dtype)
+    if packed:
+        to3 = lambda t, ln: t.transpose(0, 2, 1, 3).reshape(b, ln, h * d)
+        return to3(dq4, lq), to3(dk4, lk), to3(dv4, lk), db
+    return dq4, dk4, dv4, db
 
 
 def _bwd(causal, res, g):
@@ -638,6 +701,11 @@ def _bwd(causal, res, g):
     g, _ = g  # (d_out, d_lse); lse is stats-only, its cotangent is dropped
     if BACKWARD_IMPL == "pallas":
         dq, dk, dv, db = _flash_backward(
+            q, k, v, bias, key_padding_mask, causal, g, out, lse
+        )
+        return dq, dk, dv, db, None
+    if BACKWARD_IMPL == "xla_stats":
+        dq, dk, dv, db = _xla_stats_backward(
             q, k, v, bias, key_padding_mask, causal, g, out, lse
         )
         return dq, dk, dv, db, None
@@ -656,6 +724,12 @@ def _bwd_packed(causal, num_heads, res, g):
     g, _ = g  # (d_out, d_lse); lse is stats-only, its cotangent is dropped
     if BACKWARD_IMPL == "pallas":
         dq, dk, dv, db = _flash_backward(
+            q, k, v, bias, key_padding_mask, causal, g, out, lse,
+            num_heads=num_heads,
+        )
+        return dq, dk, dv, db, None
+    if BACKWARD_IMPL == "xla_stats":
+        dq, dk, dv, db = _xla_stats_backward(
             q, k, v, bias, key_padding_mask, causal, g, out, lse,
             num_heads=num_heads,
         )

@@ -256,3 +256,57 @@ def test_bf16_bias_grads():
             assert rel < 2.5e-2, f"{name}: rel err {rel:.4f} vs fp32 reference"
     finally:
         fa.BACKWARD_IMPL = old
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_xla_stats_backward_matches(causal):
+    """BACKWARD_IMPL=xla_stats (five plain einsums from the saved out/lse —
+    the FLOP-optimal backward) == the pallas kernels, both layouts, with a
+    key-padding mask, a ragged Lq, and a bf16 bias."""
+    old = fa.BACKWARD_IMPL
+    try:
+        b, h, lq, lk, d = 2, 4, 72, 80, 16
+        q = _rand((b, h, lq, d), 0)
+        k = _rand((b, h, lk, d), 1)
+        v = _rand((b, h, lk, d), 2)
+        bias = _rand((h, lq, lk), 3)
+        mask = np.zeros((b, lk), bool)
+        mask[0, lk - 5:] = True
+        mask = jnp.asarray(mask)
+
+        def loss(q, k, v, bias):
+            return jnp.sum(fa.flash_attention_bias(q, k, v, bias, mask, causal) ** 2)
+
+        fa.BACKWARD_IMPL = "pallas"
+        gp = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        fa.BACKWARD_IMPL = "xla_stats"
+        gs = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, b_ in zip(("dq", "dk", "dv", "dbias"), gs, gp):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4,
+                err_msg=name,
+            )
+
+        to3 = lambda t: t.transpose(0, 2, 1, 3).reshape(b, t.shape[2], h * d)
+        bias16 = bias.astype(jnp.bfloat16)
+
+        def loss3(q3, k3, v3, bias):
+            return jnp.sum(
+                fa.flash_attention_bias_packed(
+                    q3, k3, v3, bias, mask, causal, h
+                ).astype(jnp.float32) ** 2
+            )
+
+        args3 = (to3(q).astype(jnp.bfloat16), to3(k).astype(jnp.bfloat16),
+                 to3(v).astype(jnp.bfloat16), bias16)
+        fa.BACKWARD_IMPL = "pallas"
+        gp3 = jax.grad(loss3, argnums=(0, 1, 2, 3))(*args3)
+        fa.BACKWARD_IMPL = "xla_stats"
+        gs3 = jax.grad(loss3, argnums=(0, 1, 2, 3))(*args3)
+        assert gs3[3].dtype == jnp.bfloat16
+        for name, a, b_ in zip(("dq", "dk", "dv", "dbias"), gs3, gp3):
+            a = np.asarray(a, np.float32)
+            r = np.asarray(b_, np.float32)
+            rel = np.abs(a - r).max() / max(np.abs(r).max(), 1e-6)
+            assert rel < 2.5e-2, f"packed bf16 {name}: rel err {rel:.4f}"
+    finally:
+        fa.BACKWARD_IMPL = old
