@@ -280,21 +280,50 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
         # counter — stalls there are invisible, iterators.py:551-641)
         data_wait = 0.0
         data_stalls = 0
+        assembly_time = 0.0
+        step_time_ema = 0.0  # recent device step time; sets the stall bar
 
         def fetch():
-            nonlocal data_wait, data_stalls
+            # Two separately-timed spans: the ITERATOR wait (host pipeline:
+            # TSV -> augs -> collate; a stall here means data can't keep up)
+            # vs BATCH ASSEMBLY (prepare_batch: global-array construction +
+            # async upload — step work, never a "data stall"; under
+            # multi-process it includes make_array_from_process_local_data).
+            # A stall is an iterator wait that is material next to the step
+            # itself (>5% of the recent step time), not a fixed 5 ms.
+            nonlocal data_wait, data_stalls, assembly_time
             t0 = time.perf_counter()
             try:
-                out = trainer.prepare_batch(next(batch_iter))
+                raw = next(batch_iter)
             except StopIteration:
                 return None
             w = time.perf_counter() - t0
             data_wait += w
-            if w > 0.005:  # >5 ms: the step had to wait on data
+            if w > max(0.05 * step_time_ema, 0.001):
                 data_stalls += 1
+            t1 = time.perf_counter()
+            out = trainer.prepare_batch(raw)
+            assembly_time += time.perf_counter() - t1
             return out
 
         pending = fetch()
+        # Multi-process: AOT-compile the step, rendezvous at a coordination
+        # barrier, THEN execute.  Compile skew between hosts can be minutes
+        # (and one-sided: the shared compile cache lets the second host race
+        # ahead), while the Gloo communicator init fired by the first
+        # collective execution has a hard 30 s key-value window.  The
+        # reference's analog is its NCCL init retry + dummy all-reduce
+        # (distributed/utils.py:262-294).
+        if (
+            jax.process_count() > 1
+            and pending is not None
+            and not getattr(trainer, "_mp_step_synced", False)
+        ):
+            from ifseg_tpu.parallel.mesh import coordination_barrier
+
+            trainer.compile_train_step(pending)
+            coordination_barrier("cli_train_step_compiled")
+            trainer._mp_step_synced = True
         i = -1
         # seed with the restored counter so a resume (or an immediate skip
         # streak) never re-saves the checkpoint it just loaded
@@ -302,8 +331,16 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
         while pending is not None:
             i += 1
             current, pending = pending, fetch()
+            t_step = time.perf_counter()
             with timer, span(f"train_step-{i}"):
                 logs = trainer.train_step(current)
+            # dispatch wall time; in steady state the device's backpressure
+            # makes this track the real step time, which is what the stall
+            # threshold should scale with
+            dt = time.perf_counter() - t_step
+            step_time_ema = dt if step_time_ema == 0.0 else (
+                0.9 * step_time_ema + 0.1 * dt
+            )
             heartbeat.beat()
             siu = cfg.checkpoint.save_interval_updates
             num_updates = trainer.get_num_updates()
@@ -344,8 +381,12 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
                     "data_wait_ms",
                     1e3 * data_wait / max(len(host_logs), 1), round=2,
                 )
+                metrics_lib.log_scalar(
+                    "batch_assembly_ms",
+                    1e3 * assembly_time / max(len(host_logs), 1), round=2,
+                )
                 metrics_lib.log_scalar_sum("data_stalls", data_stalls)
-                data_wait, data_stalls = 0.0, 0
+                data_wait, data_stalls, assembly_time = 0.0, 0, 0.0
                 progress.log(agg.get_smoothed_values(), step=trainer.get_num_updates())
                 # sanitizers at log cadence (the reference runs its grad-norm
                 # cross-rank check every step, trainer.py:1408-1445; here the
@@ -402,6 +443,13 @@ def validate(cfg, task, trainer, epoch: int, evaluator) -> dict:
         eval_params = trainer.state.params
         if cfg.task.uses_ema and trainer.state.ema_params is not None:
             eval_params = trainer.state.ema_params
+        if jax.process_count() > 1:
+            # eval opens with _localize_params — a fresh all-gather program
+            # whose Gloo init has the 30 s window; enter it together.
+            # Barrier keys must be unique per wait -> tag with the epoch.
+            from ifseg_tpu.parallel.mesh import coordination_barrier
+
+            coordination_barrier(f"validate_start_epoch{epoch}")
         logs = evaluator.eval_dataset(
             eval_params, ds,
             batch_size=max(cfg.optimization.batch_size_valid, 1),

@@ -46,7 +46,7 @@ class SegServer:
     ops/quantization.py): large weights live in HBM as int8 and dequantize on
     the fly inside the step, halving (vs bf16) the weight bytes each forward
     streams — the deployment analog of the reference's scalar quantization
-    (quantization_utils.py:143, modules/quantization/scalar).  The bias pack
+    (quantize_model_scalar, quantization_utils.py:15; modules/quantization/scalar).  The bias pack
     is precomputed from the UNQUANTIZED params (one-time cost, keeps the
     shape-static tensors exact)."""
 

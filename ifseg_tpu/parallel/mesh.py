@@ -90,6 +90,29 @@ def initialize_distributed(coordinator_address=None, num_processes=1, process_id
         )
 
 
+def coordination_barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Block until every process reaches this barrier, via the JAX
+    coordination service (gRPC) — NOT via a device collective.
+
+    This is the multi-host rendezvous primitive for phases with large
+    cross-host skew (cold compiles, checkpoint writes): unlike
+    ``multihost_utils.sync_global_devices`` — which runs a device all-gather
+    and therefore initialises a Gloo/NCCL communicator with its own hard
+    30 s key-value window — this barrier tolerates ``timeout_s`` of skew and
+    touches no communicator.  Call it between AOT compilation and the first
+    execution of a collective program so every process enters communicator
+    init within milliseconds of its peers.  Reference analog: the NCCL init
+    retry loop + dummy all-reduce (distributed/utils.py:262-294).  No-op for
+    a single process."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    assert client is not None, "coordination_barrier needs jax.distributed"
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
     """Rows this process loads from disk per step.
 

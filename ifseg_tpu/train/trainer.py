@@ -433,6 +433,23 @@ class Trainer:
         self.state, logs = self._train_fn(self.state, arrays)
         return logs
 
+    def compile_train_step(self, batch) -> None:
+        """AOT-compile the jitted train step WITHOUT executing it — no
+        collective runs, so no Gloo/NCCL communicator is initialised.
+
+        Multi-process runs call this before the first ``train_step`` and then
+        rendezvous at a coordination-service barrier: compilation skew between
+        hosts can be minutes (cold cache, core-starved box), while the
+        per-communicator Gloo key-value init that fires on the FIRST collective
+        execution has a hard 30 s window (XLA GlooKeyValueStore).  Compiling
+        first and barriering after bounds the skew at the communicator init to
+        milliseconds.  The reference's analog is its NCCL init retry loop
+        (custom_fairseq/fairseq/distributed/utils.py:262-291)."""
+        if self._train_fn is None:
+            self._build_train_fn()
+        arrays = self.prepare_batch(batch)
+        self._train_fn.lower(self.state, arrays).compile()
+
     def _batch_to_arrays(self, batch, ufreq: int = 1) -> Dict[str, Any]:
         if not isinstance(batch, dict):
             batch = {

@@ -53,13 +53,29 @@ def check_grad_norms(local_norm: float, tolerance: float = 1e-4) -> bool:
     return ok
 
 
-def param_fingerprint(params: Any) -> np.ndarray:
-    """Cheap order-stable fingerprint of a parameter pytree."""
+@jax.jit
+def _fingerprint_program(params: Any) -> jnp.ndarray:
     leaves = jax.tree_util.tree_leaves(params)
     acc = jnp.zeros((), jnp.float32)
     for i, p in enumerate(leaves):
         acc = acc + (i + 1) * jnp.sum(p.astype(jnp.float32) ** 2)
-    return np.asarray(jax.device_get(acc))
+    return acc
+
+
+def param_fingerprint(params: Any) -> np.ndarray:
+    """Cheap order-stable fingerprint of a parameter pytree.
+
+    ONE jitted program over the whole tree, not an eager op per leaf: with
+    cross-process-sharded params every per-leaf reduction is its own
+    collective program, each with a fresh Gloo communicator rendezvous whose
+    key-value window is a hard 30 s — a storm of hundreds of tiny programs
+    deadlocks two time-sharing processes as soon as the shared compile cache
+    lets one race ahead of the other (observed: worker 0 parked in the
+    subsequent allgather while worker 1 was still mid-storm).  A desynced
+    REPLICATED leaf still changes the result per-process (its contribution is
+    computed locally, no collective), which is exactly what the cross-host
+    comparison in check_param_sync needs to see."""
+    return np.asarray(jax.device_get(_fingerprint_program(params)))
 
 
 def check_param_sync(params: Any, tolerance: float = 1e-5) -> bool:

@@ -116,6 +116,27 @@ def main():
     pid, nproc, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
     )
+    # if the worker wedges (collective rendezvous, barrier, orbax commit),
+    # dump every thread's Python stack and die — the spawning test then shows
+    # WHERE it hung instead of a silent subprocess.TimeoutExpired
+    import faulthandler
+
+    faulthandler.dump_traceback_later(int(os.environ.get("MP_WATCHDOG_S", "780")), exit=True)
+    # 1-core-host hardening (same playbook as __graft_entry__._phase_env):
+    # cold compiles on a time-shared core can park one device thread in a
+    # collective rendezvous far past XLA:CPU's 40 s termination default, and
+    # the concurrency-optimized thunk scheduler can order independent
+    # collectives differently across devices (cross-resource deadlock).  Must
+    # land in XLA_FLAGS before the backend initializes.
+    flags = os.environ.get("XLA_FLAGS", "")
+    extra = []
+    if "collective_call_terminate_timeout" not in flags:
+        extra.append("--xla_cpu_collective_call_terminate_timeout_seconds=900")
+        extra.append("--xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+    if "concurrency_optimized_scheduler" not in flags:
+        extra.append("--xla_cpu_enable_concurrency_optimized_scheduler=false")
+    os.environ["XLA_FLAGS"] = (flags + " " + " ".join(extra)).strip()
+
     import jax
 
     # the image's sitecustomize registers the axon TPU plugin before this
@@ -129,6 +150,10 @@ def main():
         os.path.join(os.path.dirname(__file__), ".jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    # two processes' sharded executions time-share one core: async dispatch
+    # lets a second execution's device tasks pile onto the pool while the
+    # first's are parked in rendezvous waits (circular wait on a starved box)
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
     if nproc > 1:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
@@ -143,7 +168,12 @@ def main():
 
     from ifseg_tpu.checkpoint.manager import CheckpointManager
     from ifseg_tpu.eval.evaluator import Evaluator
-    from ifseg_tpu.parallel.mesh import MeshConfig, build_mesh, local_batch_slice
+    from ifseg_tpu.parallel.mesh import (
+        MeshConfig,
+        build_mesh,
+        coordination_barrier,
+        local_batch_slice,
+    )
     from ifseg_tpu.train.trainer import Trainer
     from ifseg_tpu.utils import metrics as metrics_lib
     from ifseg_tpu.utils.reliability import check_grad_norms, check_param_sync
@@ -155,12 +185,23 @@ def main():
     lengths = rng.integers(1, 4, size=(6,)).astype(np.int32)
     trainer = Trainer(cfg, mesh, tokens, lengths, total_num_updates=10)
     trainer.init_state()
+    jax.block_until_ready(trainer.state)
 
     B = 8
     full = make_global_batch(cfg, b=B)
     lb = local_batch_slice(B, mesh)  # == B // nproc
     lo = pid * lb
     local = {k: v[lo : lo + lb] for k, v in full.items()}
+
+    # Gloo communicator init (fired lazily by the FIRST execution of each
+    # collective program) has a hard 30 s key-value window; cold compiles on
+    # a time-shared core can skew the processes by minutes (and the shared
+    # compile cache makes the skew one-sided: the second process gets a warm
+    # hit and races ahead).  So: AOT-compile first, rendezvous at a
+    # coordination-service barrier (tolerates minutes), THEN execute — every
+    # process enters communicator init within milliseconds of its peers.
+    trainer.compile_train_step(local)
+    coordination_barrier("train_step_compiled")
 
     result = {"pid": pid, "nproc": nproc}
     losses, gnorm = [], None
@@ -170,7 +211,9 @@ def main():
         gnorm = float(np.asarray(jax.device_get(logs["gnorm"])))
     result["losses"] = losses
 
-    # sanitizers must pass on a healthy run
+    # sanitizers must pass on a healthy run.  Each process_allgather is a new
+    # collective program (fresh Gloo clique): rendezvous before its first run.
+    coordination_barrier("sanitizers")
     result["grad_norms_consistent"] = bool(check_grad_norms(gnorm))
     result["params_in_sync"] = bool(check_param_sync(trainer.state.params))
 
@@ -178,10 +221,9 @@ def main():
     ckpt = CheckpointManager(cfg.checkpoint)
     ckpt.save(1, trainer.state, extra={"epoch": 1}, val_metric=0.5)
     ckpt.finalize()
-    if nproc > 1:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("ckpt_committed")
+    # coordination-service barrier, NOT sync_global_devices: the latter runs
+    # a device all-gather whose Gloo init would re-open the 30 s skew window
+    coordination_barrier("ckpt_committed")
     name = ckpt.latest()
     result["ckpt_name"] = name
     restored = ckpt.load(name, trainer.state)
@@ -195,11 +237,17 @@ def main():
     all_samples = make_eval_samples(cfg)
     mine = all_samples[pid::nproc] if nproc > 1 else all_samples
     evaluator = Evaluator(cfg, trainer.model, mesh)
+    # eval starts with _localize_params — a fresh all-gather program (new
+    # Gloo rendezvous): enter it together
+    coordination_barrier("eval_start")
     outs = evaluator.eval_dataset(
         trainer.state.params, _ListDataset(mine), batch_size=2
     )
     area_keys = ["area_intersect", "area_union", "area_label", "area_pred_label"]
     local_sums = {k: sum(np.asarray(o[k]) for o in outs) for k in area_keys}
+    # eval is per-process local compute; the area reduction is the next new
+    # collective program — rendezvous so its Gloo init sees both processes
+    coordination_barrier("eval_reduce")
     reduced = metrics_lib.cross_process_sum(local_sums)
     with np.errstate(invalid="ignore", divide="ignore"):
         iou = np.asarray(reduced["area_intersect"]) / np.asarray(reduced["area_union"])

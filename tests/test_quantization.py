@@ -66,7 +66,7 @@ def test_int8_serving_matches_bf16_argmax():
     """SegServer(quantize="int8") — weight-only int8 serving (dequantize
     inside the jitted step) must agree with the unquantized forward on ~all
     argmax decisions and shrink the weight bytes ~4x (VERDICT r3 item 8;
-    ref quantization_utils.py:143)."""
+    ref quantize_model_scalar, quantization_utils.py:15)."""
     from ifseg_tpu.config import model_config_for_arch
     from ifseg_tpu.eval.serving import SegServer
     from ifseg_tpu.models.segofa import SegOFAVariables

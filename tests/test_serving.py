@@ -42,8 +42,8 @@ def test_served_forward_matches_standard():
 
 
 def test_served_int8_argmax_agreement():
-    """Weight-only int8 serving (reference: quantization_utils.py:143 scalar
-    path) must keep the per-pixel argmax decision: the quantization error of
+    """Weight-only int8 serving (reference: quantize_model_scalar,
+    quantization_utils.py:15) must keep the per-pixel argmax decision: the quantization error of
     8-bit per-channel absmax rounding is far below the logit margins a trained
     (or even random-init) head produces.  Gates the --quantize=int8 flag on
     cli/serve.py end-to-end through SegServer."""
@@ -75,8 +75,9 @@ def test_served_int8_argmax_agreement():
     # Random-init logit margins are near zero, so some argmax flips are
     # expected at ANY quantization width; the meaningful gates are (a) the
     # logit perturbation is small relative to the logit spread and (b) the
-    # bulk of decisions still agree.  The trained-scale agreement number is
-    # measured by tools/bench_int8_serving.py and quoted in README.
+    # bulk of decisions still agree.  tools/bench_int8_serving.py measures
+    # the base-scale number (random-init by default, trained weights via
+    # --checkpoint) quoted in README's serving section.
     rel = np.abs(got - want).mean() / (np.abs(want - want.mean()).mean() + 1e-8)
     assert rel < 0.05, f"int8 relative logit error {rel:.4f} >= 5%"
     agree = (got.argmax(-1) == want.argmax(-1)).mean()
