@@ -32,12 +32,14 @@ class EpochBatchIterator:
         buffer_size: int = 2,
         drop_last: bool = True,
         num_workers: int = 0,  # >0: multi-process shared-memory feed
+        row_offset: int = 0,  # global row index of local row 0 (multi-process)
     ):
         self.num_rows = num_rows
         self.batch_size = batch_size
         self.make_example = make_example
         self.collate = collate
         self.seed = seed
+        self.row_offset = row_offset
         self.epoch = max(epoch, 1)
         self.buffer_size = buffer_size
         self.drop_last = drop_last
@@ -51,8 +53,12 @@ class EpochBatchIterator:
         hi = min(lo + self.batch_size, self.num_rows)
         examples = []
         for i in range(lo, hi):
-            # per-row rng: reproducible regardless of worker count/resume
-            rng = np.random.default_rng((self.seed, epoch, i))
+            # per-row rng keyed by the GLOBAL row index: reproducible
+            # regardless of worker count/resume, and distinct across
+            # processes (each feeds a different file slice — seeding by the
+            # local index would hand every process the same random grids,
+            # ref analog: rank-sliced rows at file_dataset.py:40-45)
+            rng = np.random.default_rng((self.seed, epoch, self.row_offset + i))
             examples.append(self.make_example(i, rng))
         return self.collate(examples)
 

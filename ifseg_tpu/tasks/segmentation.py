@@ -90,6 +90,7 @@ class SegmentationTask:
                 seed=seed,
                 epoch=epoch,
                 num_workers=self.cfg.num_workers,
+                row_offset=ds.dataset.start_pos,
             )
         return EpochBatchIterator(
             num_rows=len(ds),

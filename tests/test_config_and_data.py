@@ -145,6 +145,29 @@ def test_iterator_per_row_rng_reproducible():
     assert outs[0] == outs[1]
 
 
+def test_iterator_row_offset_matches_global_stream():
+    """Two processes each feeding half the rows must reproduce the
+    single-process per-row rng stream (seeded by GLOBAL row index via
+    row_offset), not duplicate it — the file layer hands each process a
+    contiguous slice (file_dataset.py start_pos), so local index i on
+    process p is global row p*rows_per_proc + i."""
+    draw = lambda i, rng: int(rng.integers(0, 1 << 30))
+    single = EpochBatchIterator(
+        num_rows=8, batch_size=2, make_example=draw,
+        collate=lambda xs: xs, seed=5, buffer_size=1,
+    )
+    golden = [x for b in single.next_epoch_itr() for x in b]
+    sharded = []
+    for p in range(2):
+        it = EpochBatchIterator(
+            num_rows=4, batch_size=2, make_example=draw,
+            collate=lambda xs: xs, seed=5, buffer_size=1, row_offset=4 * p,
+        )
+        sharded.extend(x for b in it.next_epoch_itr() for x in b)
+    assert sharded == golden
+    assert len(set(golden)) == len(golden), "rng streams must be distinct"
+
+
 def test_config_file_expansion(tmp_path):
     import json
 
