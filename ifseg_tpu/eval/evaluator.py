@@ -190,11 +190,11 @@ class Evaluator:
         per_sample = heads * float(ltok) ** 2 * 4 * 18
         return max(int(EVAL_MEM_BUDGET / per_sample), 1)
 
-    def _run_group(self, params, samples) -> Dict[str, jax.Array]:
-        """Run a group of samples that share (image-bucket, target-bucket) —
-        NOT necessarily exact shapes — as ONE padded vmapped forward.  Short
-        groups are padded by replicating row 0 with row_valid=False (same
-        compiled shape for any power-of-2 size)."""
+    def _pack_group(self, samples):
+        """Host-side packing of a bucket group: zero-pad every sample into the
+        bucket shape and pad the batch to the next power of two (replicating
+        row 0 with row_valid=False — same compiled shape for any group size).
+        Returns (bucket_key, arg tuple for the compiled fn)."""
         n = len(samples)
         Hb = _bucket(max(s.patch_image.shape[0] for s in samples))
         Wb = _bucket(max(s.patch_image.shape[1] for s in samples))
@@ -202,9 +202,6 @@ class Evaluator:
         Wo = _bucket(max(s.ori_semantic_seg.shape[1] for s in samples))
         b = 1 << (n - 1).bit_length()  # pad to the next power of two
         key = (Hb, Wb, Ho, Wo)
-        if key not in self._fns:
-            logger.info("compiling eval fn for bucket %s", key)
-            self._fns[key] = self._make_fn((Hb, Wb), (Ho, Wo))
 
         num_seg = self.cfg.model.num_seg_tokens
         image = np.zeros((b, Hb, Wb, 3), np.float32)
@@ -229,11 +226,17 @@ class Evaluator:
             img_h[i], img_w[i] = img_h[0], img_w[0]
             ori_h[i], ori_w[i] = ori_h[0], ori_w[0]
         row_valid = np.arange(b) < n
+        return key, (src, image, img_h, img_w, bos, target, ori_h, ori_w,
+                     row_valid)
 
-        return self._fns[key](
-            params, src, image, img_h, img_w, bos, target, ori_h, ori_w,
-            row_valid,
-        )
+    def _run_group(self, params, samples) -> Dict[str, jax.Array]:
+        """Run a group of samples that share (image-bucket, target-bucket) —
+        NOT necessarily exact shapes — as ONE padded vmapped forward."""
+        key, args = self._pack_group(samples)
+        if key not in self._fns:
+            logger.info("compiling eval fn for bucket %s", key)
+            self._fns[key] = self._make_fn(key[:2], key[2:])
+        return self._fns[key](params, *args)
 
     def _localize_params(self, params):
         """Native-resolution eval is embarrassingly parallel over each host's

@@ -53,6 +53,127 @@ def make_tsv(path: str, rows: int, num_seg: int = 16, seed: int = 0):
     return path
 
 
+def _sync(x):
+    """Honest device sync: read back one scalar (block_until_ready can return
+    early through the axon relay)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def itemize(evaluator, ds, params, batch_size: int):
+    """Time each phase of the dominant bucket group separately (VERDICT r4
+    item 2: attribute the 3 img/s before attacking it)."""
+    import jax.numpy as jnp
+
+    from ifseg_tpu.eval.evaluator import _bucket, _upsampled_areas_dyn
+    from ifseg_tpu.models.segofa import SegOFA
+    from ifseg_tpu.ops.resize import bilinear_matrix_dyn
+
+    # ---- host decode (keep-ratio resize + normalize, cv2) ----
+    t0 = time.perf_counter()
+    samples = [ds.get_eval_sample(i) for i in range(len(ds))]
+    host_ms = 1e3 * (time.perf_counter() - t0) / len(ds)
+
+    # dominant bucket group, filled to batch_size
+    groups = {}
+    for s in samples:
+        key = (_bucket(s.patch_image.shape[0]), _bucket(s.patch_image.shape[1]),
+               _bucket(s.ori_semantic_seg.shape[0]),
+               _bucket(s.ori_semantic_seg.shape[1]))
+        groups.setdefault(key, []).append(s)
+    key, grp = max(groups.items(), key=lambda kv: len(kv[1]))
+    grp = (grp * batch_size)[:batch_size]
+    n = len(grp)
+    print(f"itemizing bucket {key} at group size {n}")
+
+    def timed(name, fn, iters=4):
+        fn()  # compile/warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        if out is not None:
+            _sync(out)
+        ms = 1e3 * (time.perf_counter() - t0) / iters
+        print(f"  {name:<26} {ms:9.1f} ms  ({ms / n:6.1f} ms/img)")
+        return ms
+
+    rows = {"host_decode": host_ms * n}
+    print(f"  {'host_decode':<26} {host_ms * n:9.1f} ms  ({host_ms:6.1f} ms/img)")
+    rows["pack"] = timed("pack (host)", lambda: evaluator._pack_group(grp))
+    _, args = evaluator._pack_group(grp)
+    rows["h2d"] = timed(
+        "H2D upload", lambda: jax.device_put(args), iters=2
+    )
+    dev_args = jax.device_put(args)
+
+    # forward only: the vmapped padded model forward, no upsample/areas
+    model = evaluator.model
+    crit = evaluator.cfg.criterion
+
+    def fwd_single(p, src, image, ih, iw, bos):
+        logits, enc = model.apply(
+            {"params": p}, src[None], image[None], ih, iw, bos[None],
+            crit.full_context_alignment, method=SegOFA.eval_forward,
+        )
+        return logits.sum()
+
+    fwd = jax.jit(jax.vmap(fwd_single, in_axes=(None, 0, 0, 0, 0, 0)))
+    src, image, img_h, img_w, bos = dev_args[:5]
+    rows["forward"] = timed(
+        "model forward", lambda: fwd(params, src, image, img_h, img_w, bos)
+    )
+
+    # upsample + confusion areas only, from a random on-device grid
+    Hb, Wb, Ho, Wo = key
+    Hp, Wp = Hb // 16, Wb // 16
+    num_seg = evaluator.cfg.model.num_seg_tokens
+    grid = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n, Hp, Wp, num_seg)), jnp.float32
+    )
+    target, ori_h, ori_w = dev_args[5], dev_args[6], dev_args[7]
+    from ifseg_tpu.eval.evaluator import ROW_CHUNK
+
+    def up_single(g, tgt, oh, ow, ih, iw):
+        hp, wp = -(-ih // 16), -(-iw // 16)
+        uh = bilinear_matrix_dyn(Hp, Ho, oh, in_valid=hp)
+        uw = bilinear_matrix_dyn(Wp, Wo, ow, in_valid=wp)
+        r = jnp.arange(Ho)[:, None]
+        cc = jnp.arange(Wo)[None, :]
+        valid = ((r < oh) & (cc < ow) & (tgt != num_seg))[None]
+        areas, ce = _upsampled_areas_dyn(
+            g[None], tgt[None], valid, num_seg, uh, uw, Ho // ROW_CHUNK
+        )
+        return areas[0]
+
+    up = jax.jit(jax.vmap(up_single, in_axes=(0, 0, 0, 0, 0, 0)))
+    rows["upsample_areas"] = timed(
+        "upsample+areas",
+        lambda: up(grid, target, ori_h, ori_w, img_h, img_w),
+    )
+
+    full = evaluator._fns.get(key)
+    if full is None:
+        full = evaluator._make_fn(key[:2], key[2:])
+        evaluator._fns[key] = full
+    rows["full_fn"] = timed("full eval fn", lambda: full(params, *dev_args))
+    unattributed = rows["full_fn"] - rows["forward"] - rows["upsample_areas"]
+    print(f"  {'full - fwd - upsample':<26} {unattributed:9.1f} ms  "
+          f"(bias construction & co)")
+    return key, dev_args, full
+
+
+def trace_group(params, dev_args, full_fn, out_dir="/tmp/ifseg_eval_trace"):
+    """Per-op device attribution of one group execution."""
+    _sync(full_fn(params, *dev_args))  # warm
+    with jax.profiler.trace(out_dir):
+        for _ in range(2):
+            _sync(full_fn(params, *dev_args))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_trace import summarize
+
+    summarize(out_dir, iters=2)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="segofa_base")
@@ -61,6 +182,10 @@ def main():
     p.add_argument("--patch-image-size", type=int, default=512)
     p.add_argument("--num-seg", type=int, default=16)
     p.add_argument("--resnet-iters", type=int, default=0)
+    p.add_argument("--itemize", action="store_true",
+                   help="per-phase timing of the dominant bucket group")
+    p.add_argument("--trace", action="store_true",
+                   help="with --itemize: per-op trace of the full eval fn")
     args = p.parse_args()
 
     from ifseg_tpu.config import Config, model_config_for_arch
@@ -88,6 +213,14 @@ def main():
     ds = task.load_dataset("valid")
     _, params = SegOFAVariables.init(cfg.model, jax.random.PRNGKey(0))
     evaluator = Evaluator(cfg, SegOFA(cfg.model))
+
+    if args.itemize:
+        key, dev_args, full_fn = itemize(
+            evaluator, ds, params, args.batch_size_valid
+        )
+        if args.trace:
+            trace_group(params, dev_args, full_fn)
+        return
 
     # pass 1: compile every bucket program (and warm the host caches)
     stats = {}
