@@ -172,9 +172,12 @@ class Evaluator:
                 for k, v in per.items()
                 if k not in ("nll_sum", "nll_cnt")
             }
-            nll_sum = jnp.sum(per["nll_sum"] * w)
-            nll_cnt = jnp.sum(per["nll_cnt"] * w)
-            out["nll_loss"] = nll_sum / jnp.maximum(nll_cnt, 1.0)
+            # keep the SUM and COUNT (not the ratio): group sizes differ and
+            # multi-process reduction sums across hosts — a ratio would be
+            # summed into garbage (reduce_metrics derives loss = Σsum/Σcnt)
+            out["nll_sum"] = jnp.sum(per["nll_sum"] * w)
+            out["nll_cnt"] = jnp.sum(per["nll_cnt"] * w)
+            out["nll_loss"] = out["nll_sum"] / jnp.maximum(out["nll_cnt"], 1.0)
             out["loss"] = out["nll_loss"]
             return out
 

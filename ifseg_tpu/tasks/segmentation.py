@@ -115,9 +115,19 @@ class SegmentationTask:
             for k in keys
         }
         n = len(logging_outputs)
-        for k in ("loss", "imfree_loss", "seg_loss", "nll_loss"):
-            if k in sums:
-                metrics_lib.log_scalar(k, sums[k] / n, n, round=3)
+        if "nll_cnt" in sums:
+            # native-res eval groups carry summable (nll_sum, nll_cnt):
+            # the exactly-weighted mean is invariant to how samples were
+            # split into groups or row shards across processes (the ratio
+            # keys in the logs are per-group conveniences, not summable)
+            cnt = float(np.maximum(sums["nll_cnt"], 1.0))
+            mean = float(sums["nll_sum"]) / cnt
+            metrics_lib.log_scalar("nll_loss", mean, cnt, round=3)
+            metrics_lib.log_scalar("loss", mean, cnt, round=3)
+        else:
+            for k in ("loss", "imfree_loss", "seg_loss", "nll_loss"):
+                if k in sums:
+                    metrics_lib.log_scalar(k, sums[k] / n, n, round=3)
         if "gnorm" in sums:
             metrics_lib.log_scalar("gnorm", sums["gnorm"] / n, n, round=3)
         if "n_nonfinite" in sums:

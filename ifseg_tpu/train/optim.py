@@ -320,8 +320,11 @@ class FairseqAdamState(NamedTuple):
     mu: Any
     nu: Any
     # host-adjustable multiplier on the schedule (ReduceLROnPlateau's lever;
-    # lives in optimizer state so changing it doesn't recompile the step)
-    lr_scale: jnp.ndarray = jnp.ones((), jnp.float32)
+    # lives in optimizer state so changing it doesn't recompile the step).
+    # No array default: a concrete-array default would run at import time
+    # and initialize the XLA backend, breaking jax.distributed.initialize
+    # for any multi-process entrypoint that imports the package first.
+    lr_scale: jnp.ndarray = None
 
 
 def fairseq_adam(

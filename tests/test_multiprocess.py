@@ -128,3 +128,103 @@ def test_eval_areas_reduce_across_processes(results):
     # golden's full set exactly
     assert p0["area_label_total"] == golden["area_label_total"]
     assert p0["miou"] == p1["miou"]
+
+
+# --------------------------------------------------------------------- CLI
+
+CLI_WORKER = os.path.join(os.path.dirname(__file__), "mp_cli_worker.py")
+
+
+def _parse_valid_lines(out: str) -> dict:
+    """'valid epoch N: k v | k v | ...' lines -> {epoch: {k: float}}."""
+    import re
+
+    parsed = {}
+    for m in re.finditer(r"valid epoch (\d+): (.+)", out):
+        vals = {}
+        for pair in m.group(2).split(" | "):
+            k, _, v = pair.strip().partition(" ")
+            try:
+                vals[k] = float(v)
+            except ValueError:
+                pass
+        parsed[int(m.group(1))] = vals
+    return parsed
+
+
+@pytest.fixture(scope="module")
+def cli_results(tmp_path_factory):
+    """Run the REAL CLI (cli_main) single-process and under 2 spawned
+    processes over the same 8-row TSV with global batch 8 (= epoch rows, so
+    batch composition matches across process counts)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from utils import make_seg_tsv
+
+    base = tmp_path_factory.mktemp("mpcli")
+    tsv = str(base / "d.tsv")
+    make_seg_tsv(tsv, rows=8, num_seg=3, size=(48, 48))
+    golden_dir, mp_dir = str(base / "golden"), str(base / "mp")
+    os.makedirs(golden_dir), os.makedirs(mp_dir)
+
+    proc = subprocess.run(
+        [sys.executable, CLI_WORKER, "0", "1", "0", golden_dir, tsv],
+        capture_output=True, text=True, timeout=900, env=_env(), cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"golden CLI run failed:\nSTDOUT:\n{proc.stdout[-3000:]}\n"
+        f"STDERR:\n{proc.stderr[-3000:]}"
+    )
+    golden_out = proc.stdout + proc.stderr
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CLI_WORKER, str(pid), "2", str(port), mp_dir, tsv],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=_env(), cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"mp CLI worker failed:\n{out[-4000:]}"
+    return golden_out, outs[0], outs[1], golden_dir, mp_dir
+
+
+def test_cli_two_process_valid_metrics_match_golden(cli_results):
+    golden_out, out0, out1, _, _ = cli_results
+    g, v0, v1 = map(_parse_valid_lines, (golden_out, out0, out1))
+    assert set(g) == set(v0) == set(v1) == {1, 2}, (g.keys(), v0.keys())
+    for epoch in (1, 2):
+        # the reduced validation metrics are global: identical across the
+        # two processes (same replicated area sums)
+        for k in ("mIoU", "aAcc", "loss"):
+            assert v0[epoch].get(k) == v1[epoch].get(k), (k, v0, v1)
+        # and reproduce the single-process golden (same global batches via
+        # contiguous file slices + row_offset rng; bf16 + collective
+        # reduction order -> tolerance)
+        np.testing.assert_allclose(
+            v0[epoch]["mIoU"], g[epoch]["mIoU"], rtol=2e-2, atol=5e-3
+        )
+        np.testing.assert_allclose(
+            v0[epoch]["loss"], g[epoch]["loss"], rtol=2e-2
+        )
+
+
+def test_cli_two_process_checkpoints_committed(cli_results):
+    import json as json_mod
+
+    _, _, _, golden_dir, mp_dir = cli_results
+    for d in (golden_dir, mp_dir):
+        with open(os.path.join(d, "ckpt", "manifest.json")) as fp:
+            manifest = json_mod.load(fp)
+        assert manifest.get("best_metric") is not None
+        assert os.path.isdir(os.path.join(d, "ckpt", "checkpoint_2"))
