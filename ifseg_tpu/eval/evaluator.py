@@ -91,23 +91,33 @@ class Evaluator:
         assert Ho % ROW_CHUNK == 0
         chunks = Ho // ROW_CHUNK
 
-        def fn_single(params, src_tokens, image, img_h, img_w, bos, target,
-                      ori_h, ori_w):
+        def fn_batch(params, src_tokens, image, img_h, img_w, bos, target,
+                     ori_h, ori_w):
+            # ONE batched forward for the whole group.  (img_h, img_w) are
+            # per-row pixel extents consumed by the stem's valid masking;
+            # positions and all three bias systems depend only on the ceil-16
+            # patch extents, which eval_dataset's grouping guarantees are
+            # equal across the group's rows — so they are built once and
+            # shared, exactly like the fixed-shape serving path.  The
+            # previous per-sample vmap rebuilt every (H, L, L) bias per row:
+            # measured 265 ms/img vs 27 ms/img for this forward at the
+            # (512,768) bucket, group of 8 (tools/bench_eval_path.py).
             logits, enc = self.model.apply(
                 {"params": params},
-                src_tokens[None],
-                image[None],
+                src_tokens,
+                image,
                 img_h,
                 img_w,
-                bos[None],
+                bos,
                 crit.full_context_alignment,
                 method=SegOFA.eval_forward,
             )
             Hp, Wp = enc["image_embed_shape"]
             hp, wp = enc["valid_hw"]
             hw = Hp * Wp
+            b = logits.shape[0]
             c = logits.shape[-1]
-            grid = logits[:, :hw].reshape(1, Hp, Wp, c).astype(jnp.float32)
+            grid = logits[:, :hw].reshape(b, Hp, Wp, c).astype(jnp.float32)
 
             post_grid = None
             if crit.resnet_iters > 0:
@@ -123,42 +133,48 @@ class Evaluator:
                     crit.resnet_topk,
                     crit.resnet_iters,
                 )
-                post_grid = post.reshape(1, Hp, Wp, c)
+                post_grid = post.reshape(b, Hp, Wp, c)
 
-            # dynamic-valid upsample matrices: valid (hp, wp) grid -> original
-            uh = bilinear_matrix_dyn(Hp, Ho, ori_h, in_valid=hp)
-            uw = bilinear_matrix_dyn(Wp, Wo, ori_w, in_valid=wp)
-            r = jnp.arange(Ho)[:, None]
-            cc = jnp.arange(Wo)[None, :]
-            in_bounds = (r < ori_h) & (cc < ori_w)
-            valid = (in_bounds & (target != num_seg))[None]
+            def up_single(g, tgt, ori_h_r, ori_w_r, pg):
+                # dynamic-valid upsample valid (hp, wp) grid -> original;
+                # per-row (cheap: ~2 ms/img) so it stays vmapped
+                uh = bilinear_matrix_dyn(Hp, Ho, ori_h_r, in_valid=hp)
+                uw = bilinear_matrix_dyn(Wp, Wo, ori_w_r, in_valid=wp)
+                r = jnp.arange(Ho)[:, None]
+                cc = jnp.arange(Wo)[None, :]
+                in_bounds = (r < ori_h_r) & (cc < ori_w_r)
+                valid = (in_bounds & (tgt != num_seg))[None]
 
-            areas, ce = _upsampled_areas_dyn(
-                grid, target[None], valid, num_seg, uh, uw, chunks
-            )
-            out = {
-                "area_intersect": areas[0],
-                "area_pred_label": areas[1],
-                "area_label": areas[2],
-                "area_union": areas[3],
-                "nll_sum": ce[0],
-                "nll_cnt": ce[1],
-            }
-            if post_grid is not None:
-                pareas, _ = _upsampled_areas_dyn(
-                    post_grid, target[None], valid, num_seg, uh, uw, chunks
+                areas, ce = _upsampled_areas_dyn(
+                    g[None], tgt[None], valid, num_seg, uh, uw, chunks
                 )
-                out.update(
-                    {
-                        "area_intersect_resnet_postprocess": pareas[0],
-                        "area_pred_label_resnet_postprocess": pareas[1],
-                        "area_label_resnet_postprocess": pareas[2],
-                        "area_union_resnet_postprocess": pareas[3],
-                    }
-                )
-            return out
+                out = {
+                    "area_intersect": areas[0],
+                    "area_pred_label": areas[1],
+                    "area_label": areas[2],
+                    "area_union": areas[3],
+                    "nll_sum": ce[0],
+                    "nll_cnt": ce[1],
+                }
+                if pg is not None:
+                    pareas, _ = _upsampled_areas_dyn(
+                        pg[None], tgt[None], valid, num_seg, uh, uw, chunks
+                    )
+                    out.update(
+                        {
+                            "area_intersect_resnet_postprocess": pareas[0],
+                            "area_pred_label_resnet_postprocess": pareas[1],
+                            "area_label_resnet_postprocess": pareas[2],
+                            "area_union_resnet_postprocess": pareas[3],
+                        }
+                    )
+                return out
 
-        fn_batch = jax.vmap(fn_single, in_axes=(None,) + (0,) * 8)
+            if post_grid is None:
+                return jax.vmap(
+                    lambda g, t, oh, ow: up_single(g, t, oh, ow, None)
+                )(grid, target, ori_h, ori_w)
+            return jax.vmap(up_single)(grid, target, ori_h, ori_w, post_grid)
 
         def fn(params, src_tokens, image, img_h, img_w, bos, target,
                ori_h, ori_w, row_valid):
@@ -186,12 +202,18 @@ class Evaluator:
     # ----------------------------------------------------------------- driver
 
     def _max_group_rows(self, Hb: int, Wb: int) -> int:
-        """Largest vmapped batch the HBM budget allows at this image bucket
-        (per-sample cost model documented at EVAL_MEM_BUDGET)."""
-        heads = self.cfg.model.encoder_attention_heads
+        """Largest batched group the HBM budget allows at this image bucket.
+
+        With the group-shared forward the (heads, L, L) bias chains are built
+        ONCE per group (fixed cost); the per-row residual is activations
+        (~L*D bytes times live-buffer depth).  The old per-sample model
+        (heads * L^2 * 18 fp32 buffers PER ROW) priced the vmapped design."""
+        m = self.cfg.model
+        heads = m.encoder_attention_heads
         ltok = (Hb // 16) * (Wb // 16) + 64  # image tokens + text headroom
-        per_sample = heads * float(ltok) ** 2 * 4 * 18
-        return max(int(EVAL_MEM_BUDGET / per_sample), 1)
+        fixed = heads * float(ltok) ** 2 * 4 * 20
+        per_row = float(ltok) * m.encoder_embed_dim * 4 * 96
+        return max(int((EVAL_MEM_BUDGET - fixed) / per_row), 1)
 
     def _pack_group(self, samples):
         """Host-side packing of a bucket group: zero-pad every sample into the
@@ -199,6 +221,18 @@ class Evaluator:
         row 0 with row_valid=False — same compiled shape for any group size).
         Returns (bucket_key, arg tuple for the compiled fn)."""
         n = len(samples)
+        # group-shared forward contract: every row must have the same ceil-16
+        # patch extents (positions/biases are built once from them; see
+        # _make_fn).  eval_dataset groups by these; a mixed group would be
+        # silently wrong, so fail loud.
+        ceils = {
+            (-(-s.patch_image.shape[0] // 16), -(-s.patch_image.shape[1] // 16))
+            for s in samples
+        }
+        assert len(ceils) == 1, (
+            f"eval group mixes ceil-16 patch extents {sorted(ceils)}; "
+            "group rows by (ceil(h/16), ceil(w/16))"
+        )
         Hb = _bucket(max(s.patch_image.shape[0] for s in samples))
         Wb = _bucket(max(s.patch_image.shape[1] for s in samples))
         Ho = _bucket(max(s.ori_semantic_seg.shape[0] for s in samples))
@@ -326,15 +360,19 @@ class Evaluator:
                         "eval sample preprocessing failed"
                     ) from producer_error[0]
                 break
-            # bucket-level key: under the reference's keep-ratio resize the
-            # exact shapes are nearly all unique, but they cluster into a
-            # handful of buckets — this is what lets --batch-size-valid form
-            # real batches (the compiled fn handles per-row extents)
+            # group key: shape bucket (-> which compiled fn runs) PLUS the
+            # ceil-16 patch extents (-> the group-shared positions/biases;
+            # _pack_group asserts the contract).  Under the reference's
+            # keep-ratio resize the short edge is pinned, so the ceil
+            # extents cluster almost as tightly as the buckets — exact
+            # pixel shapes (nearly all unique) still batch together.
             skey = (
                 _bucket(sample.patch_image.shape[0]),
                 _bucket(sample.patch_image.shape[1]),
                 _bucket(sample.ori_semantic_seg.shape[0]),
                 _bucket(sample.ori_semantic_seg.shape[1]),
+                -(-sample.patch_image.shape[0] // 16),
+                -(-sample.patch_image.shape[1] // 16),
                 sample.src_tokens.shape[0],
             )
             bucket_counts[skey] = bucket_counts.get(skey, 0) + 1

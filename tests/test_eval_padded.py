@@ -216,9 +216,12 @@ def test_eval_dataset_batched_matches_per_sample(setup, monkeypatch):
 
 
 def test_eval_dataset_bucket_groups_mixed_exact_shapes(setup, monkeypatch):
-    """Samples with DIFFERENT exact shapes in one bucket batch together and
-    sum the same areas as per-sample eval (VERDICT round-2 item 4: keep-ratio
-    resize makes exact shapes unique, so grouping must be by bucket)."""
+    """Samples with DIFFERENT exact pixel shapes batch together when they
+    share ceil-16 patch extents (the group-shared forward builds positions/
+    biases once per group), and split when the ceil extents differ.  Either
+    way the summed areas must match per-sample eval (VERDICT round-2
+    item 4: keep-ratio resize makes exact shapes unique, so grouping must
+    be coarser than exact shapes)."""
     import ifseg_tpu.eval.evaluator as ev
 
     monkeypatch.setattr(ev, "BUCKET", 64)
@@ -231,11 +234,13 @@ def test_eval_dataset_bucket_groups_mixed_exact_shapes(setup, monkeypatch):
     full_cfg = Config().replace(model=cfg)
     rng = np.random.default_rng(7)
 
-    # four distinct exact shapes, all inside the (64,128)/(128,192) buckets
+    # four distinct exact shapes inside the (64,128)/(128,192) buckets;
+    # the first three share ceil-16 extents (3, 5) -> one group, the last
+    # is (4, 6) -> its own group
     shapes = [
         ((48, 80), (96, 160)),
-        ((50, 76), (100, 150)),
-        ((44, 90), (90, 170)),
+        ((47, 79), (100, 150)),
+        ((45, 77), (90, 170)),
         ((64, 96), (128, 190)),
     ]
     samples = []
@@ -262,7 +267,9 @@ def test_eval_dataset_bucket_groups_mixed_exact_shapes(setup, monkeypatch):
 
     evaluator2 = ev.Evaluator(full_cfg, model)
     logs = evaluator2.eval_dataset(params, ListDS(), batch_size=4)
-    assert len(logs) == 1, "all four shapes share one bucket -> one group"
+    assert len(logs) == 2, (
+        "three shapes share ceil extents (3,5) -> one group; (64,96) -> its own"
+    )
     got = sum(np.asarray(o["area_intersect"]) for o in logs)
     got_label = sum(np.asarray(o["area_label"]) for o in logs)
     np.testing.assert_allclose(got, want, rtol=1e-5)

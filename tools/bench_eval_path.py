@@ -74,16 +74,19 @@ def itemize(evaluator, ds, params, batch_size: int):
     samples = [ds.get_eval_sample(i) for i in range(len(ds))]
     host_ms = 1e3 * (time.perf_counter() - t0) / len(ds)
 
-    # dominant bucket group, filled to batch_size
+    # dominant group (bucket + shared ceil-16 extents), filled to batch_size
     groups = {}
     for s in samples:
         key = (_bucket(s.patch_image.shape[0]), _bucket(s.patch_image.shape[1]),
                _bucket(s.ori_semantic_seg.shape[0]),
-               _bucket(s.ori_semantic_seg.shape[1]))
+               _bucket(s.ori_semantic_seg.shape[1]),
+               -(-s.patch_image.shape[0] // 16),
+               -(-s.patch_image.shape[1] // 16))
         groups.setdefault(key, []).append(s)
     key, grp = max(groups.items(), key=lambda kv: len(kv[1]))
     grp = (grp * batch_size)[:batch_size]
     n = len(grp)
+    key = key[:4]
     print(f"itemizing bucket {key} at group size {n}")
 
     def timed(name, fn, iters=4):
@@ -106,18 +109,20 @@ def itemize(evaluator, ds, params, batch_size: int):
     )
     dev_args = jax.device_put(args)
 
-    # forward only: the vmapped padded model forward, no upsample/areas
+    # forward only: the batched group-shared padded forward (per-row pixel
+    # extents for the stem mask, positions/biases built once per group),
+    # no upsample/areas
     model = evaluator.model
     crit = evaluator.cfg.criterion
 
-    def fwd_single(p, src, image, ih, iw, bos):
+    def fwd_batch(p, src, image, ih, iw, bos):
         logits, enc = model.apply(
-            {"params": p}, src[None], image[None], ih, iw, bos[None],
+            {"params": p}, src, image, ih, iw, bos,
             crit.full_context_alignment, method=SegOFA.eval_forward,
         )
         return logits.sum()
 
-    fwd = jax.jit(jax.vmap(fwd_single, in_axes=(None, 0, 0, 0, 0, 0)))
+    fwd = jax.jit(fwd_batch)
     src, image, img_h, img_w, bos = dev_args[:5]
     rows["forward"] = timed(
         "model forward", lambda: fwd(params, src, image, img_h, img_w, bos)
