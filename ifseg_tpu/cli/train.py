@@ -102,24 +102,52 @@ def main(cfg: Config) -> None:
             maximize=cfg.checkpoint.maximize_best_checkpoint_metric,
         )
 
+    # early stop state (ref train.py should_stop_early :207-233): consecutive
+    # validations without a best-metric improvement
+    es_best: Optional[float] = None
+    es_bad = 0
+    train_start = time.time()
     for epoch in range(start_epoch, cfg.optimization.max_epoch + 1):
-        train_epoch(
+        hard_stop = train_epoch(
             cfg, task, trainer, epoch, ckpt=ckpt,
             resume_iter=resume_iter if epoch == start_epoch else None,
+            train_start=train_start,
         )
-        val = validate(cfg, task, trainer, epoch, evaluator)
-        metric = val.get(cfg.checkpoint.best_checkpoint_metric)
+        metric = None
+        if epoch % max(cfg.checkpoint.validate_interval, 1) == 0 or hard_stop:
+            val = validate(cfg, task, trainer, epoch, evaluator)
+            metric = val.get(cfg.checkpoint.best_checkpoint_metric)
         if plateau is not None and metric is not None:
             scale = plateau.step(float(metric))
             trainer.set_lr_scale(scale)
             logger.info("plateau lr scale: %s", scale)
-        if epoch % cfg.checkpoint.save_interval == 0:
+        if epoch % cfg.checkpoint.save_interval == 0 or hard_stop:
             ckpt.save(
                 epoch,
                 trainer.state,
                 extra={"epoch": epoch, "metrics": metrics_lib.state_dict()},
                 val_metric=metric,
             )
+        if hard_stop:
+            logger.info("stopping: %s", hard_stop)
+            break
+        # patience: skip the check when no validation ran this epoch
+        if cfg.checkpoint.patience > 0 and metric is not None:
+            better = es_best is None or (
+                float(metric) > es_best
+                if cfg.checkpoint.maximize_best_checkpoint_metric
+                else float(metric) < es_best
+            )
+            if better:
+                es_best, es_bad = float(metric), 0
+            else:
+                es_bad += 1
+                if es_bad >= cfg.checkpoint.patience:
+                    logger.info(
+                        "early stop: %s has not improved for %d validations",
+                        cfg.checkpoint.best_checkpoint_metric, es_bad,
+                    )
+                    break
     ckpt.finalize()  # commit any in-flight async checkpoint write
     logger.info("done training; best %s=%s", cfg.checkpoint.best_checkpoint_metric,
                 ckpt.manifest.get("best_metric"))
@@ -229,7 +257,12 @@ def restore_training_state(cfg, trainer, ckpt):
     return int(extra.get("epoch", 0)) + 1, None
 
 
-def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> None:
+def train_epoch(
+    cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None,
+    train_start: Optional[float] = None,
+) -> Optional[str]:
+    """Run one epoch; returns a stop reason when --max-update or
+    --stop-time-hours fired mid-epoch (ref train.py:344-365), else None."""
     if epoch > 1:
         task.load_dataset("train", epoch=epoch)
     # each process iterates its OWN TSV slice (file_dataset.py process
@@ -258,6 +291,7 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
 
     logs_buffer = []
     consecutive_nonfinite = 0
+    stop_reason = None
     timer = StepTimer()
     heartbeat = Heartbeat(timeout=float(os.environ.get("IFSEG_HEARTBEAT", "600"))).start()
     with metrics_lib.aggregate(f"train_epoch") as agg:
@@ -373,6 +407,17 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
             # keep logs as device arrays: a device_get here would sync every
             # step and serialize upload -> compute -> readback
             logs_buffer.append(logs)
+            mu = cfg.optimization.max_update
+            if mu > 0 and num_updates >= mu:
+                stop_reason = f"num_updates {num_updates} >= max_update {mu}"
+                break
+            sth = cfg.optimization.stop_time_hours
+            if (
+                sth > 0 and train_start is not None
+                and (time.time() - train_start) / 3600.0 > sth
+            ):
+                stop_reason = f"training time exceeded stop_time_hours {sth}"
+                break
             if (i + 1) % cfg.common.log_interval == 0:
                 host_logs = [jax.device_get(l) for l in logs_buffer]
                 task.reduce_metrics(host_logs)
@@ -423,6 +468,7 @@ def train_epoch(cfg, task, trainer, epoch: int, ckpt=None, resume_iter=None) -> 
         progress.print(agg.get_smoothed_values(), tag="train", step=trainer.get_num_updates())
     heartbeat.stop()
     metrics_lib.reset_meters("train_epoch")
+    return stop_reason
 
 
 def validate(cfg, task, trainer, epoch: int, evaluator) -> dict:

@@ -37,12 +37,12 @@ def main(cfg: Config) -> dict:
     metrics_lib.reset_meters("validate")
     with metrics_lib.aggregate("validate", new_root=True) as agg:
         t0 = time.time()
-        logs = []
-        for i in range(len(ds)):
-            sample = ds.get_eval_sample(i)
-            logs.append(evaluator.eval_sample(params, sample))
-            if (i + 1) % 50 == 0:
-                logger.info("evaluated %d/%d", i + 1, len(ds))
+        # batched + pipelined exactly like the train loop's validation
+        # (--batch-size-valid groups same-bucket rows into one padded
+        # forward; host decode overlaps device compute)
+        logs = evaluator.eval_dataset(
+            params, ds, batch_size=max(cfg.optimization.batch_size_valid, 1)
+        )
         task.reduce_metrics(logs)
         vals = agg.get_smoothed_values()
         vals["num_images"] = len(ds)

@@ -289,7 +289,12 @@ class OptimizationConfig:
     adam_eps: float = 1e-8
     clip_norm: float = 1.0
     max_epoch: int = 20
+    # stop once this many optimizer updates have run (0 = unlimited; checked
+    # inside the epoch like ref train.py:344-353)
     max_update: int = 0
+    # stop once cumulative training wall time exceeds this many hours
+    # (0 = unlimited; ref train.py:356-365)
+    stop_time_hours: float = 0.0
     update_freq: int = 1
     batch_size: int = 4
     batch_size_valid: int = 1
@@ -325,6 +330,10 @@ class CheckpointConfig:
     keep_interval_updates: int = -1
     best_checkpoint_metric: str = "mIoU"
     maximize_best_checkpoint_metric: bool = True
+    # early stop: end training after this many consecutive validations
+    # without a best-metric improvement (0 = off; ref train.py
+    # should_stop_early :207-233)
+    patience: int = 0
     no_save: bool = False
     # if --restore-file does not exist, fabricate an ofa_base-SHAPED torch
     # .pt there (random weights) and load it through the full torch-file

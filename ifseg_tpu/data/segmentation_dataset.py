@@ -27,7 +27,7 @@ import base64
 import logging
 from dataclasses import dataclass, field
 from io import BytesIO
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image, ImageFile
@@ -95,11 +95,26 @@ class SegBatch:
     ntokens: int = 0
 
 
+def eval_mean_std(cfg) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    """Normalization constants shared by the host train pipeline and the
+    evaluator's ON-DEVICE normalize (eval ships uint8 over the wire — 4x
+    fewer host->device bytes than normalized fp32)."""
+    if cfg.imagenet_default_mean_and_std:
+        return IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD
+    return (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)
+
+
 @dataclass
 class EvalSample:
-    """One ragged eval row (bucketing happens in eval/)."""
+    """One ragged eval row (bucketing happens in eval/).
 
-    patch_image: np.ndarray  # (h, w, 3) fp32, resized keep-ratio
+    ``patch_image`` is raw uint8 RGB (keep-ratio resized); normalization
+    happens on-device inside the evaluator's compiled fn so the upload is
+    1 byte/channel instead of 4 (fp32 arrays are also accepted and pass
+    through un-normalized, for tests that fabricate already-normalized
+    rows)."""
+
+    patch_image: np.ndarray  # (h, w, 3) uint8 RGB, resized keep-ratio
     src_tokens: np.ndarray  # (L,)
     bos_token: np.ndarray  # (1,)
     ori_semantic_seg: np.ndarray  # (H, W) int32 class ids, original res
@@ -125,10 +140,7 @@ class SegmentationDataset:
         self.patch_image_size = s
         self.num_seg = cfg.num_seg_tokens
 
-        if cfg.imagenet_default_mean_and_std:
-            self.mean, self.std = IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD
-        else:
-            self.mean, self.std = (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)
+        self.mean, self.std = eval_mean_std(cfg)
 
         if split == "train":
             self.resize = ResizeRatioRange((s * 4, s), (0.5, 2.0), min_size=s)
@@ -250,9 +262,10 @@ class SegmentationDataset:
         img_bgr, seg, uniq_id = self._decode_row(index)
         ori_shape = img_bgr.shape
         img_resized, _ = self.eval_resize(img_bgr)
-        img = normalize_image(img_resized[:, :, ::-1], self.mean, self.std)
+        # raw uint8 RGB: normalization runs on-device (eval/evaluator.py),
+        # quartering the host->device bytes and skipping the host fp32 pass
         return EvalSample(
-            patch_image=img,
+            patch_image=np.ascontiguousarray(img_resized[:, :, ::-1]),
             src_tokens=self.src_item,
             bos_token=np.asarray([self.dict.bos()], np.int32),
             ori_semantic_seg=seg,

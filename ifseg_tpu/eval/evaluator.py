@@ -32,11 +32,10 @@ logger = logging.getLogger(__name__)
 
 BUCKET = 256  # pixel granularity of shape buckets
 ROW_CHUNK = 128  # original-resolution rows upsampled per scan step
-# HBM budget for one vmapped eval group.  Eval biases are PER-SAMPLE (the
-# valid extents differ row to row), so a group costs ~heads * Ltok^2 * 4B *
-# ~18 live bias-sized buffers per sample (bias chains + double-interp
-# intermediates; forward-only, no remat).  Calibrated on v5e-1 (16G): batch 8
-# at the (512,768) bucket = L~1576 used 17.6G -> ~2.2G/sample.
+# HBM budget for one batched eval group.  With the group-shared forward the
+# (heads, L, L) bias chains are built ONCE per group (fixed cost, ~20 live
+# bias-sized fp32 buffers); each row then adds ~L * D * 4B across ~96 live
+# activation buffers (forward-only, no remat) — see _max_group_rows.
 EVAL_MEM_BUDGET = float(
     __import__("os").environ.get("IFSEG_EVAL_MEM_BUDGET", 11e9)
 )
@@ -76,14 +75,15 @@ class Evaluator:
 
     def _make_fn(self, img_hw: Tuple[int, int], ori_hw: Tuple[int, int]):
         """One compiled function per (image-bucket, target-bucket) covering
-        EVERY shape inside the bucket: the single-sample core takes this
-        row's valid extents (img_h/img_w/ori_h/ori_w) as traced scalars and
-        is ``vmap``-ed over the batch, so per-sample interpolation matrices,
-        padding masks and attention biases batch automatically.  Under the
-        reference's keep-ratio MultiScaleFlipAug nearly every image has a
-        unique exact shape — exact-shape grouping (round 2) degenerated to
-        batch 1; bucket grouping is what makes --batch-size-valid real.
-        ``row_valid`` masks replicated padding rows out of the area/CE sums."""
+        EVERY shape inside the bucket: the model forward runs ONCE for the
+        whole group (positions/biases built from the group-shared ceil-16
+        patch extents; per-row pixel extents feed only the stem's valid
+        masking), and the cheap per-row dynamic-valid upsample stays
+        ``vmap``-ed.  Under the reference's keep-ratio MultiScaleFlipAug
+        nearly every image has a unique exact shape — exact-shape grouping
+        (round 2) degenerated to batch 1; bucket grouping is what makes
+        --batch-size-valid real.  ``meta[4]`` (row_valid) masks replicated
+        padding rows out of the area/CE sums."""
         cfg = self.cfg
         num_seg = cfg.model.num_seg_tokens
         crit = cfg.criterion
@@ -176,8 +176,25 @@ class Evaluator:
                 )(grid, target, ori_h, ori_w)
             return jax.vmap(up_single)(grid, target, ori_h, ori_w, post_grid)
 
-        def fn(params, src_tokens, image, img_h, img_w, bos, target,
-               ori_h, ori_w, row_valid):
+        from ifseg_tpu.data.segmentation_dataset import eval_mean_std
+
+        mean, std = eval_mean_std(cfg.task)
+        mean_a = np.asarray(mean, np.float32)
+        std_a = np.asarray(std, np.float32)
+
+        def fn(params, src_tokens, image, bos, target, meta):
+            # wire format (host->device bytes are the eval bottleneck on
+            # bandwidth-starved links): image uint8 RGB (normalized HERE, on
+            # device — 4x fewer bytes than fp32; fp32 passes through for
+            # pre-normalized test rows), target uint8 when num_seg fits,
+            # and the five per-row scalars packed into ONE (5, b) int32
+            # array (each separate transfer pays fixed link latency)
+            img_h, img_w = meta[0], meta[1]
+            ori_h, ori_w = meta[2], meta[3]
+            row_valid = meta[4].astype(bool)
+            if image.dtype == jnp.uint8:
+                image = (image.astype(jnp.float32) / 255.0 - mean_a) / std_a
+            target = target.astype(jnp.int32)
             per = fn_batch(
                 params, src_tokens, image, img_h, img_w, bos, target,
                 ori_h, ori_w,
@@ -241,8 +258,16 @@ class Evaluator:
         key = (Hb, Wb, Ho, Wo)
 
         num_seg = self.cfg.model.num_seg_tokens
-        image = np.zeros((b, Hb, Wb, 3), np.float32)
-        target = np.full((b, Ho, Wo), num_seg, np.int32)
+        # wire dtypes (see _make_fn's fn): uint8 image + uint8 target where
+        # the class ids fit — eval upload bytes, not FLOPs, bound this path
+        # on thin host->device links
+        img_dtype = samples[0].patch_image.dtype
+        assert all(s.patch_image.dtype == img_dtype for s in samples), (
+            "mixed patch_image dtypes in one eval group"
+        )
+        tgt_dtype = np.uint8 if num_seg + 1 <= 256 else np.int32
+        image = np.zeros((b, Hb, Wb, 3), img_dtype)
+        target = np.full((b, Ho, Wo), num_seg, tgt_dtype)
         src = np.tile(samples[0].src_tokens[None].astype(np.int32), (b, 1))
         bos = np.tile(samples[0].bos_token[None].astype(np.int32), (b, 1))
         img_h = np.empty((b,), np.int32)
@@ -262,9 +287,9 @@ class Evaluator:
             image[i] = image[0]
             img_h[i], img_w[i] = img_h[0], img_w[0]
             ori_h[i], ori_w[i] = ori_h[0], ori_w[0]
-        row_valid = np.arange(b) < n
-        return key, (src, image, img_h, img_w, bos, target, ori_h, ori_w,
-                     row_valid)
+        row_valid = (np.arange(b) < n).astype(np.int32)
+        meta = np.stack([img_h, img_w, ori_h, ori_w, row_valid])
+        return key, (src, image, bos, target, meta)
 
     def _run_group(self, params, samples) -> Dict[str, jax.Array]:
         """Run a group of samples that share (image-bucket, target-bucket) —

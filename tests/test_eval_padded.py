@@ -317,3 +317,51 @@ def test_bucket_batching_forms_groups(monkeypatch):
     assert sum(stats["group_sizes"]) == 24  # every sample evaluated once
     assert max(stats["group_sizes"]) >= 4  # real batching formed
     assert sum(o["n"] for o in outs) == 24
+
+
+def test_eval_uint8_wire_matches_host_normalized(setup, monkeypatch):
+    """The uint8 wire format (raw RGB shipped, normalize on device —
+    evaluator.py _make_fn) must produce the same areas/nll as shipping the
+    host-normalized fp32 image (the pre-round-5 format, still accepted for
+    fabricated test rows)."""
+    import ifseg_tpu.eval.evaluator as ev
+    from ifseg_tpu.data.segmentation_dataset import EvalSample, eval_mean_std
+    from ifseg_tpu.data.transforms import normalize_image
+
+    monkeypatch.setattr(ev, "BUCKET", 64)
+    monkeypatch.setattr(ev, "ROW_CHUNK", 32)
+
+    cfg, model, params = setup
+    from ifseg_tpu.config import Config
+
+    full_cfg = Config().replace(model=cfg)
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, size=(48, 80, 3)).astype(np.uint8)
+    seg = rng.integers(0, 5, size=(100, 160)).astype(np.int32)
+    mean, std = eval_mean_std(full_cfg.task)
+
+    def mk(img):
+        return EvalSample(
+            patch_image=img,
+            src_tokens=rng.integers(4, 100, size=(10,)).astype(np.int32),
+            bos_token=np.zeros((1,), np.int32),
+            ori_semantic_seg=seg,
+            ori_shape=(100, 160, 3),
+        )
+
+    rng = np.random.default_rng(11)  # identical src tokens for both rows
+    s_u8 = mk(raw)
+    rng = np.random.default_rng(11)
+    s_f32 = mk(normalize_image(raw, mean, std))
+
+    ev_u8 = ev.Evaluator(full_cfg, model).eval_sample(params, s_u8)
+    ev_f32 = ev.Evaluator(full_cfg, model).eval_sample(params, s_f32)
+    # the two compiled programs fuse the normalize differently, so fp32
+    # noise can flip argmax at decision boundaries (a random tiny model has
+    # near-zero margins everywhere); the contract is equivalence up to a
+    # small pixel budget, plus tight agreement of the smooth nll
+    n_px = float(ev_f32["area_label"].sum())
+    for k in ("area_intersect", "area_union", "area_label"):
+        drift = np.abs(ev_u8[k] - ev_f32[k]).sum()
+        assert drift <= 0.01 * n_px, (k, drift, n_px)
+    np.testing.assert_allclose(ev_u8["nll_loss"], ev_f32["nll_loss"], rtol=1e-3)

@@ -115,7 +115,15 @@ def itemize(evaluator, ds, params, batch_size: int):
     model = evaluator.model
     crit = evaluator.cfg.criterion
 
+    from ifseg_tpu.data.segmentation_dataset import eval_mean_std
+
+    mean, std = eval_mean_std(evaluator.cfg.task)
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+
     def fwd_batch(p, src, image, ih, iw, bos):
+        if image.dtype == jnp.uint8:
+            image = (image.astype(jnp.float32) / 255.0 - mean_a) / std_a
         logits, enc = model.apply(
             {"params": p}, src, image, ih, iw, bos,
             crit.full_context_alignment, method=SegOFA.eval_forward,
@@ -123,7 +131,8 @@ def itemize(evaluator, ds, params, batch_size: int):
         return logits.sum()
 
     fwd = jax.jit(fwd_batch)
-    src, image, img_h, img_w, bos = dev_args[:5]
+    src, image, bos, _tgt, meta = dev_args
+    img_h, img_w = meta[0], meta[1]
     rows["forward"] = timed(
         "model forward", lambda: fwd(params, src, image, img_h, img_w, bos)
     )
@@ -135,7 +144,8 @@ def itemize(evaluator, ds, params, batch_size: int):
     grid = jnp.asarray(
         np.random.default_rng(0).normal(size=(n, Hp, Wp, num_seg)), jnp.float32
     )
-    target, ori_h, ori_w = dev_args[5], dev_args[6], dev_args[7]
+    target = _tgt.astype(jnp.int32)
+    ori_h, ori_w = meta[2], meta[3]
     from ifseg_tpu.eval.evaluator import ROW_CHUNK
 
     def up_single(g, tgt, oh, ow, ih, iw):
