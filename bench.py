@@ -111,14 +111,16 @@ def main_train():
     b = 16
     s = cfg.model.patch_image_size
     hw16 = (s // 16) ** 2
+    # production wire dtypes (uint8 image + uint8 targets, normalized /
+    # widened inside the step — data/segmentation_dataset.py collate_train)
     batch = jax.device_put({
-        "patch_images": rng.normal(size=(b, s, s, 3)).astype(np.float32),
+        "patch_images": rng.integers(0, 256, size=(b, s, s, 3)).astype(np.uint8),
         "src_tokens": rng.integers(4, 100, size=(b, 32)).astype(np.int32),
         "bos_tokens": np.zeros((b, 1), np.int32),
-        "target": rng.integers(0, num_seg, size=(b, s, s)).astype(np.int32),
+        "target": rng.integers(0, num_seg, size=(b, s, s)).astype(np.uint8),
         "downsampled_target": rng.integers(0, num_seg, size=(b, hw16)).astype(np.int32),
         "aux_grid_ids": rng.integers(0, num_seg, size=(b, hw16)).astype(np.int32),
-        "aux_target": rng.integers(0, num_seg, size=(b, s, s)).astype(np.int32),
+        "aux_target": rng.integers(0, num_seg, size=(b, s, s)).astype(np.uint8),
     })
 
     logs = trainer.train_step(batch)  # compile

@@ -113,6 +113,13 @@ def main(cfg: Config) -> None:
             resume_iter=resume_iter if epoch == start_epoch else None,
             train_start=train_start,
         )
+        try:  # runbook observability: high-water HBM after a full epoch
+            stats = jax.devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak:
+                logger.info("peak HBM: %.2f GB", peak / 1e9)
+        except Exception:
+            pass
         metric = None
         if epoch % max(cfg.checkpoint.validate_interval, 1) == 0 or hard_stop:
             val = validate(cfg, task, trainer, epoch, evaluator)

@@ -40,7 +40,6 @@ from ifseg_tpu.data.transforms import (
     RandomCrop,
     RandomFlip,
     ResizeRatioRange,
-    normalize_image,
 )
 from ifseg_tpu.ops.resize import resize_nearest_np
 from ifseg_tpu.tokenization.dictionary import Dictionary
@@ -83,13 +82,15 @@ class SegBatch:
 
     # patch_images/target/downsampled_target are None on the image-free fast
     # path (decode_real_images=False): the step never reads them
-    patch_images: Optional[np.ndarray]  # (B, s, s, 3) fp32 normalized RGB
+    patch_images: Optional[np.ndarray]  # (B, s, s, 3) uint8 RGB (normalized
+    # on-device in the jitted step; fp32 pre-normalized accepted for tests)
     src_tokens: np.ndarray  # (B, L) int32
     bos_tokens: np.ndarray  # (B, 1) int32
-    target: Optional[np.ndarray]  # (B, s, s) int32 class ids (augmented gt)
+    target: Optional[np.ndarray]  # (B, s, s) uint8 class ids (augmented gt;
+    # int32 when num_seg+1 > 256 — the step computes in int32 either way)
     downsampled_target: Optional[np.ndarray]  # (B, (s/16)^2) int32
     aux_grid_ids: Optional[np.ndarray]  # (B, (s/16)^2) int32
-    aux_target: Optional[np.ndarray]  # (B, s, s) int32
+    aux_target: Optional[np.ndarray]  # (B, s, s) uint8 (int32 fallback)
     ids: np.ndarray  # (B,)
     nsentences: int = 0
     ntokens: int = 0
@@ -242,7 +243,10 @@ class SegmentationDataset:
         img_bgr, seg = self.crop(img_bgr, seg, rng)
         img_bgr, seg = self.flip(img_bgr, seg, rng)
         img_bgr = self.distort(img_bgr, rng)
-        img = normalize_image(img_bgr[:, :, ::-1], self.mean, self.std)
+        # raw uint8 RGB (the aug chain's native dtype): normalization runs
+        # inside the jitted step (train/trainer.py _images) — 4x fewer
+        # host->device bytes and no host fp32 pass
+        img = np.ascontiguousarray(img_bgr[:, :, ::-1])
 
         hw16 = self.patch_image_size // 16
         down = resize_nearest_np(seg, (hw16, hw16)).reshape(-1)
@@ -280,14 +284,22 @@ class SegmentationDataset:
         stack = lambda k: np.stack([e[k] for e in examples])
         has_aux = "aux_grid_ids" in examples[0]
         has_real = "patch_image" in examples[0]  # False on the fast path
+        # wire dtypes: targets ride uint8 when the class ids fit (the step
+        # computes in int32; trainer._labels) — with the uint8 images this
+        # cuts the per-step upload ~4x
+        tgt = np.uint8 if self.num_seg + 1 <= 256 else np.int32
         return SegBatch(
             patch_images=stack("patch_image") if has_real else None,
             src_tokens=np.tile(self.src_item[None], (b, 1)),
             bos_tokens=np.full((b, 1), self.dict.bos(), np.int32),
-            target=stack("target") if has_real else None,
+            target=stack("target").astype(tgt) if has_real else None,
             downsampled_target=stack("downsampled_target") if has_real else None,
             aux_grid_ids=stack("aux_grid_ids") if has_aux else None,
-            aux_target=stack("aux_target") if has_aux else None,
+            aux_target=(
+                stack("aux_target").astype(tgt)
+                if has_aux and examples[0].get("aux_target") is not None
+                else None
+            ),
             ids=np.asarray([e["id"] for e in examples]),
             nsentences=b,
             ntokens=int(

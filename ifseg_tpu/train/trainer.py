@@ -239,6 +239,26 @@ class Trainer:
 
     # ------------------------------------------------------------- train step
 
+    def _images(self, imgs):
+        """uint8 wire format for the train batch: the host ships raw uint8
+        RGB (the aug chain's native dtype) and the normalize runs HERE,
+        inside the jitted step — 4x fewer host->device bytes; fp32 arrays
+        pass through for hand-built test batches (same contract as the
+        evaluator's compiled fn)."""
+        if imgs.dtype != jnp.uint8:
+            return imgs
+        from ifseg_tpu.data.segmentation_dataset import eval_mean_std
+
+        mean, std = eval_mean_std(self.cfg.task)
+        return (
+            imgs.astype(jnp.float32) / 255.0 - np.asarray(mean, np.float32)
+        ) / np.asarray(std, np.float32)
+
+    @staticmethod
+    def _labels(t):
+        """Targets ride uint8 where the class ids fit; compute in int32."""
+        return t.astype(jnp.int32) if t.dtype != jnp.int32 else t
+
     def _loss_fn(self, params, batch, dropout_rng):
         """Image-free training loss (seg_criterion.py:179-183)."""
         cfg = self.cfg
@@ -256,7 +276,7 @@ class Trainer:
         )
         loss = compute_imfree_loss(
             extra["aux_output"],
-            batch["aux_target"],
+            self._labels(batch["aux_target"]),
             cfg.model.num_seg_tokens,
             (hw16, hw16),
             cfg.criterion.label_smoothing,
@@ -274,16 +294,17 @@ class Trainer:
         logits, _ = self.model.apply(
             {"params": params},
             src_tokens=batch["src_tokens"],
-            patch_images=batch["patch_images"],
+            patch_images=self._images(batch["patch_images"]),
             bos_tokens=batch["bos_tokens"],
             full_context_alignment=cfg.criterion.full_context_alignment,
             deterministic=False,
             rngs={"dropout": dropout_rng},
         )
         grid = _grid_from_logits(logits, (hw16, hw16))
-        valid = batch["target"] != cfg.model.num_seg_tokens
+        target = self._labels(batch["target"])
+        valid = target != cfg.model.num_seg_tokens
         out = upsampled_ce(
-            grid, batch["target"], valid, cfg.criterion.label_smoothing
+            grid, target, valid, cfg.criterion.label_smoothing
         )
         return out.loss_sum / jnp.maximum(out.count, 1.0)
 
@@ -293,14 +314,14 @@ class Trainer:
         logits, _ = self.model.apply(
             {"params": params},
             src_tokens=batch["src_tokens"],
-            patch_images=batch["patch_images"],
+            patch_images=self._images(batch["patch_images"]),
             bos_tokens=batch["bos_tokens"],
             full_context_alignment=cfg.criterion.full_context_alignment,
             deterministic=True,
         )
         return compute_monitor_outputs(
             jax.lax.stop_gradient(logits),
-            batch["target"],
+            self._labels(batch["target"]),
             batch["downsampled_target"],
             cfg.model.num_seg_tokens,
             (hw16, hw16),
@@ -520,14 +541,14 @@ class Trainer:
             logits, _ = self.model.apply(
                 {"params": state.params},
                 src_tokens=batch["src_tokens"],
-                patch_images=batch["patch_images"],
+                patch_images=self._images(batch["patch_images"]),
                 bos_tokens=batch["bos_tokens"],
                 full_context_alignment=cfg.criterion.full_context_alignment,
                 deterministic=True,
             )
             out = compute_monitor_outputs(
                 logits,
-                batch["target"],
+                self._labels(batch["target"]),
                 batch["downsampled_target"],
                 cfg.model.num_seg_tokens,
                 (hw16, hw16),

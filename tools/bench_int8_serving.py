@@ -24,6 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,15 +68,22 @@ def main():
 
     print(f"weights: {weights}")
     results = {}
+    # sync methodology = bench.py's: reduce to ONE scalar on device (its own
+    # tiny jitted program, so the serving graph is not re-inlined) and read
+    # it back — block_until_ready can return early through the axon relay,
+    # and a full-logits readback would bill D2H to the step
+    reduce_sync = jax.jit(lambda o: jnp.sum(jnp.argmax(o, -1)))
+
     for mode in ("none", "int8"):
         server = SegServer(model, params, src_len=32, quantize=mode)
-        out = server(src, img, bos)
-        jax.block_until_ready(out)
+        out = server(src, img, bos)  # full logits, for the agreement check
+        float(reduce_sync(out))
+        float(reduce_sync(server(src, img, bos)))
         iters = 16
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = server(src, img, bos)
-        jax.block_until_ready(out)
+            o = server(src, img, bos)
+        float(reduce_sync(o))
         dt = (time.perf_counter() - t0) / iters
         results[mode] = (dt, np.asarray(out))
         # the baseline keeps fp32 weight buffers (compute casts to bf16);
