@@ -77,6 +77,9 @@ def main(argv=None):
                         "ctypes C++ lattice (cpp)")
     p.add_argument("--alpha", type=float, default=0.5, help="overlay opacity")
     args = p.parse_args(argv)
+    from ifseg_tpu.utils.profiling import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
     import jax

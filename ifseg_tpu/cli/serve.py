@@ -284,6 +284,9 @@ def build_service(args_list=None, params=None):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from ifseg_tpu.utils.profiling import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     args, svc = build_service(argv)
     svc.warmup()
     httpd = ThreadingHTTPServer((args.host, args.port), _make_handler(svc))

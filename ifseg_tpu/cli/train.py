@@ -38,6 +38,9 @@ def main(cfg: Config) -> None:
         format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
         stream=sys.stdout,
     )
+    from ifseg_tpu.utils.profiling import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     initialize_distributed(
         cfg.distributed.coordinator_address,
         cfg.distributed.num_processes,

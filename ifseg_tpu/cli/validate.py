@@ -25,6 +25,9 @@ logger = logging.getLogger("ifseg_tpu.validate")
 
 def main(cfg: Config) -> dict:
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+    from ifseg_tpu.utils.profiling import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     task = SegmentationTask.setup_task(cfg)
     ds = task.load_dataset("valid")
 

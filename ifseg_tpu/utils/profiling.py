@@ -96,3 +96,31 @@ class StepTimer:
         self.last = time.perf_counter() - self._t0
         self.watchdog.step(self.last)
         return False
+
+
+def enable_persistent_jit_cache(path: Optional[str] = None) -> Optional[str]:
+    """Point XLA's persistent compilation cache at a durable directory so a
+    CLI restart (resume, validate-only, serving) never recompiles unchanged
+    programs — the reference pays torch recompilation/warmup per process;
+    here a warm cache turns the multi-minute base-scale train/eval compiles
+    into file loads.  Resolution: explicit arg > $IFSEG_JIT_CACHE (empty
+    string disables) > ~/.cache/ifseg_tpu/jit.  Returns the path in use."""
+    import os
+
+    if path is None:
+        path = os.environ.get(
+            "IFSEG_JIT_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "ifseg_tpu", "jit"
+            ),
+        )
+    if not path:
+        return None
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # unwritable dir etc. — never block training
+        logger.warning("persistent jit cache disabled: %s", e)
+        return None
+    return path
